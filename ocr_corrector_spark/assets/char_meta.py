@@ -1,0 +1,169 @@
+"""Synthetic char-meta (glyph decomposition) table.
+
+The reference loads its char_meta.txt — an EXTERNAL download it does not
+ship (/root/reference/README.md:73-74; format parsed at
+/root/reference/corrector/utils/char_sim.py:334-346:
+``code_point \\t char \\t pronunciation \\t decomposition...``).  This
+module synthesizes an equivalent table:
+
+* PINNED entries reproduce every decomposition string that the reference
+  publishes in executable doctests (char_sim.py:313-324), so the shape
+  -similarity goldens hold bit-for-bit:
+    - decompose_text('宋还本金') / ('未还本金') / ('牛') / ('午') exact
+      strings (char_sim.py:315-323);
+    - shape_similarity goldens (char_sim.py:238-247):
+        宋还本金/未还本金 = 0.88, 田/由 = 0.8888888888888888,
+        个处个业/未还本金 = 0.30434782608695654.
+      Documented deviation: the reference's 牛/午 doctests are mutually
+      inconsistent — its published first decompositions ('⿰丿⿻⿱一一丨',
+      '⿱⿰丿一⿻一丨', char_sim.py:320-323) have edit distance 4, which
+      under shape_similarity (char_sim.py:267-273, first decomposition
+      only) yields 1-4/7, NOT the 0.8571428571428572 claimed at
+      char_sim.py:240-241.  No single char_meta satisfies both.  We pin
+      the decomposition strings (so decompose_text parity holds) and a
+      SECOND decomposition pair at distance 1 so the shape_DISTANCE golden
+      (char_sim.py:119-126: shape_distance('牛','午') == 1, min over all
+      pairs) still holds.
+* Every other char in the CJK unified range U+4E00..U+9FA5 receives a
+  deterministic pseudo-IDS decomposition derived from its code point, so
+  shape similarity is defined (and low for unrelated chars) over arbitrary
+  synthetic-corpus text at any scale.  Chars outside the range — and a
+  designated UNKNOWN_CHARS set — are ABSENT, exercising the reference's
+  silent-skip path (char_sim.py:327-328).
+
+The table object is broadcast-friendly (plain picklable mapping).
+"""
+
+from __future__ import annotations
+
+# --- pinned decompositions -------------------------------------------------
+# 宋/未/还/本/金 splits are fixed by the full-string doctests
+# (char_sim.py:315-319); the others are crafted so the golden similarity
+# values and the correction fixtures (FIXTURES.md §4-§6) hold exactly.
+PINNED: dict[str, list[str]] = {
+    "宋": ["⿱⿱丶⿰丿乛⿻⿻一丨⿰丿㇏"],
+    "未": ["⿻一⿻⿻一丨⿰丿㇏"],
+    "还": ["⿺⿱丶⿰㇇㇏⿱一⿻丨⿰丿㇏"],
+    "本": ["⿻⿻⿻一丨⿰丿㇏一"],
+    "金": ["⿱⿰丿㇏⿻⿱一⿱⿻一丨一⿰丶丿"],
+    "全": ["⿱⿰丿㇏⿻⿱一⿱⿻一丨一"],
+    "已": ["⿻㇕一乚"],
+    # 牛's second decomposition keeps shape_distance('牛','午') == 1
+    # (min over all pairs; ed('⿰⿰丿一⿻一丨','⿱⿰丿一⿻一丨') == 1)
+    "牛": ["⿰丿⿻⿱一一丨", "⿰⿰丿一⿻一丨"],
+    "午": ["⿱⿰丿一⿻一丨"],
+    "田": ["⿴⿰丨𠃌⿻⿻一丨一"],
+    "由": ["⿴⿰丨𠃌⿻⿻丨丨一"],
+    "个": ["⿱⿰丿㇏丨"],
+    "处": ["⿺⿱丿㇏⿰丨丶"],
+    "业": ["⿱⿻⿻丨丨丶乂丿一"],
+    "数": ["⿰⿱⿻丨一⿱丶一⿱丿乂"],
+    "逾": ["⿰⿱⿻丨一⿱丶一⿱丿丶"],
+    "大": ["⿻一⿰丿㇏"],
+    "天": ["⿱一⿻一⿰丿㇏"],
+    "术": ["⿻丶⿻⿻一丨⿰丿㇏"],
+    "白": ["⿱丿⿴⿰丨𠃌⿻一一"],
+    "自": ["⿱丿⿴⿰丨𠃌⿻⿻一一一"],
+    "暇": ["⿰⿴⿰丨𠃌一⿱⿰㇕一⿱丿㇏"],
+    "瑕": ["⿰⿻一丨⿱⿰㇕一⿱丿㇏"],
+    "子": ["㇇亅一"],
+    "予": ["㇇丶亅一"],
+    "苦": ["⿱⿻⿻一丨丨⿱一⿴⿰丨𠃌一"],
+    "著": ["⿱⿻⿻一丨丨⿱丶⿴⿰丨𠃌一"],
+    "丰": ["⿻⿻一一丨"],
+    "主": ["⿱丶⿻⿻一一丨"],
+    "万": ["⿻一𠃌丿"],
+    "方": ["⿱丶⿻一⿰𠃌丿"],
+}
+
+# sparse pronunciations; the pronunciation path is unused by the correctors'
+# main path (SURVEY.md §2 T9) but implemented for parity tests.
+PINNED_PRONUNCIATION: dict[str, str] = {
+    "牛": "niu2",
+    "午": "wu3",
+    "田": "tian2",
+    "由": "you2",
+}
+
+# Chars deliberately ABSENT from char_meta (exercise silent-skip /
+# ZeroDivisionError row-exception paths).  萬 additionally exercises the
+# traditional-candidate guard with a missing-decomposition candidate.
+UNKNOWN_CHARS = frozenset("龘龖萬")
+
+_STROKES = "一丨丿丶乛㇏㇕乚𠃌㇇"
+_IDCS = "⿰⿱⿴⿵⿶⿷⿸⿹⿺⿻"
+
+_CJK_LO, _CJK_HI = 0x4E00, 0x9FA5
+
+
+def _synth_decomposition(cp: int) -> str:
+    """Deterministic pseudo-IDS string for a code point: one IDC followed by
+    a mix of strokes/IDCs keyed off a multiplicative hash.  ~9 chars, so two
+    unrelated chars land around similarity 0.2-0.4 — below every acceptance
+    threshold in the engine."""
+    h = (cp * 2654435761) & 0xFFFFFFFF
+    out = [_IDCS[h % 10]]
+    n = 7 + (h >> 4) % 3  # 7..9 stroke chars
+    x = h
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append(_STROKES[x % 10])
+    return "".join(out)
+
+
+class SynthCharMeta:
+    """Mapping char -> {"code_point", "pronunciation", "decompositions"}.
+
+    Pinned chars come from PINNED; other CJK-range chars are generated on
+    demand (and cached); everything else is absent.  Picklable: the cache
+    regenerates identically on any executor.
+    """
+
+    def __init__(self):
+        self._pinned = {
+            ch: {
+                "code_point": f"U+{ord(ch):04X}",
+                "pronunciation": PINNED_PRONUNCIATION.get(ch, "null"),
+                "decompositions": decomps,
+            }
+            for ch, decomps in PINNED.items()
+        }
+        self._cache: dict[str, dict] = {}
+
+    def get(self, ch, default=None):
+        meta = self._pinned.get(ch)
+        if meta is not None:
+            return meta
+        if ch in UNKNOWN_CHARS or len(ch) != 1:
+            return default
+        cp = ord(ch)
+        if not (_CJK_LO <= cp <= _CJK_HI):
+            return default
+        meta = self._cache.get(ch)
+        if meta is None:
+            meta = {
+                "code_point": f"U+{cp:04X}",
+                "pronunciation": "null",
+                "decompositions": [_synth_decomposition(cp)],
+            }
+            self._cache[ch] = meta
+        return meta
+
+    def __getitem__(self, ch):
+        meta = self.get(ch)
+        if meta is None:
+            raise KeyError(ch)
+        return meta
+
+    def __contains__(self, ch) -> bool:
+        return self.get(ch) is not None
+
+    def __getstate__(self):
+        return {}  # cache and pinned rebuild deterministically
+
+    def __setstate__(self, state):
+        self.__init__()
+
+
+def build_char_meta() -> SynthCharMeta:
+    return SynthCharMeta()
