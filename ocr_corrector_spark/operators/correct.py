@@ -1,0 +1,117 @@
+"""The correction operator: an Arrow-batched scalar pandas UDF.
+
+Design (SURVEY.md §2b F4, §4): NO split/merge of the DataFrame — the
+reference partitions rows into correct/pass lists and re-inserts by index
+(base_corrector.py:54-94); at 10^12-turn scale that positional identity is
+replaced by the ``(conv_id, turn_idx)`` key and a single-pass
+``CASE WHEN needs_correction THEN kernel(text) ELSE text END``.  The
+``needs_correction`` flag is computed natively (operators/detect.py) and
+passed INTO the UDF so pass-through rows cost one Arrow column copy, not a
+Python kernel call.
+
+Dictionaries ride a Spark broadcast; the BK-tree is built lazily once per
+Python worker from the broadcast word list (cheap: ~100 words) and cached.
+The correction itself is embarrassingly parallel — no shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..assets import KEYWORDS
+from ..assets.scorer_table import SCORER_TABLE, topn_candidates
+from ..functions.bktree import BKTree
+from ..functions.charsim import CharSim
+from ..functions.correct_kernels import bert_correct_one, keyword_correct_one
+
+# per-worker kernel caches, keyed by config tuple — survives across Arrow
+# batches and tasks in the same Python worker process
+_KW_CACHE: dict = {}
+_CHAR_SIM_CACHE: dict = {}
+
+
+def _get_char_sim() -> CharSim:
+    cs = _CHAR_SIM_CACHE.get("cs")
+    if cs is None:
+        from ..assets.char_meta import build_char_meta
+
+        cs = CharSim(build_char_meta())
+        _CHAR_SIM_CACHE["cs"] = cs
+    return cs
+
+
+def _get_kw_kernel(words: tuple):
+    key = id(words)
+    hit = _KW_CACHE.get(key)
+    if hit is None:
+        tree = BKTree(words)
+        hit = (tree, frozenset(tree.words))
+        _KW_CACHE[key] = hit
+    return hit
+
+
+def with_correction(
+    df: DataFrame,
+    corrector: str = "keyword",
+    similarity_threshold: float = 0.55,
+    topn: int = 3,
+    keywords=KEYWORDS,
+    spark: SparkSession | None = None,
+    text_col: str = "text",
+    out_col: str = "text_corrected",
+) -> DataFrame:
+    """Adds ``text_corrected``.  Requires columns from with_error_detection
+    (``err_pos``, ``needs_correction``)."""
+    spark = spark or SparkSession.getActiveSession()
+    bc_words = spark.sparkContext.broadcast(tuple(keywords))
+    bc_scorer = spark.sparkContext.broadcast(dict(SCORER_TABLE))
+
+    if corrector == "keyword":
+
+        @F.pandas_udf(StringType())
+        def correct_udf(
+            text: pd.Series, err_pos: pd.Series, needs: pd.Series
+        ) -> pd.Series:
+            tree, kwset = _get_kw_kernel(bc_words.value)
+            char_sim = _get_char_sim()
+            out = []
+            for t, e, n in zip(text, err_pos, needs):
+                if not n or t is None:
+                    out.append(t)
+                else:
+                    out.append(
+                        keyword_correct_one(
+                            t, e, tree, kwset, char_sim, similarity_threshold
+                        )
+                    )
+            return pd.Series(out)
+
+    else:
+
+        @F.pandas_udf(StringType())
+        def correct_udf(
+            text: pd.Series, err_pos: pd.Series, needs: pd.Series
+        ) -> pd.Series:
+            char_sim = _get_char_sim()
+            table = bc_scorer.value
+
+            def scorer(ch):
+                cands = table.get(ch)
+                if cands is None:
+                    return topn_candidates(ch, topn)
+                return cands
+
+            out = []
+            for t, e, n in zip(text, err_pos, needs):
+                if not n or t is None:
+                    out.append(t)
+                else:
+                    out.append(bert_correct_one(t, e, char_sim, scorer, topn))
+            return pd.Series(out)
+
+    return df.withColumn(
+        out_col, correct_udf(F.col(text_col), F.col("err_pos"), F.col("needs_correction"))
+    )
