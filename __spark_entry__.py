@@ -1,38 +1,208 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction+correction pipeline sized from
+sf0.001; ``queries``/``oracle_sql`` pair each SQL-expressible operator
+analog (ocr_corrector_spark/operators/sqlops.py) with a DuckDB oracle over
+the same parquet tables.  Column names/aliases and value formats are kept
+identical on both sides (driver hashes values after sorting columns by
+name).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: synthetic transcripts table (scale seeded from the
+    sf0.001 documents rowcount), HTML extraction + per-biz correction,
+    changed rows in stable (conv_id, turn_idx) order."""
+    from ocr_corrector_spark.plans.pipeline import flagship
+    from ocr_corrector_spark.sources.tables import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return flagship(spark, n_convs=max(50, n_docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ocr_corrector_spark.operators import sqlops as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "err_positions": q.q_err_positions,
+        "digit_translate": q.q_digit_translate,
+        "keyword_fuzzy_join": q.q_keyword_fuzzy_join,
+        "argmax_rank": q.q_argmax_rank,
+        "confusion_topk": q.q_confusion_topk,
+        "changed_rows": q.q_changed_rows,
+        "group_metrics": q.q_group_metrics,
+        "turn_reassembly": q.q_turn_reassembly,
+        "exact_dedup": q.q_exact_dedup,
+        "dedup_stats": q.q_dedup_stats,
+        "ngram_jaccard": q.q_ngram_jaccard,
+        "minhash_buckets": q.q_minhash_buckets,
+        "cosine_topk": q.q_cosine_topk,
+        "text_quality": q.q_text_quality,
+        "pricing_summary": q.q_pricing_summary,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    kws = ", ".join(f"('{k}')" for k in ("spark", "scan", "sort", "join", "merge", "batch"))
+    ngrams = (
+        "list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN "
+        "list_transform(range(0, len(string_split(text,' ')) - 2), "
+        "i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] "
+        "|| ' ' || string_split(text,' ')[i+3]) "
+        "ELSE [] END)"
+    )
+    minhash_sig = ", ".join(
+        f"list_aggregate(list_transform(grams, g -> md5('{s}' || g)), 'min') AS mh_{s}"
+        for s in ("s1", "s2", "s3", "s4")
+    )
+    return {
+        "err_positions": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+            SELECT doc_id,
+                   array_to_string(list_filter(range(0, len(words)),
+                                               i -> words[i+1] = 'spark'), ',') AS err_pos_csv,
+                   len(list_filter(range(0, len(words)), i -> words[i+1] = 'spark')) AS n_hits
+            FROM w
+            WHERE len(list_filter(range(0, len(words)), i -> words[i+1] = 'spark')) > 0
+        """,
+        "digit_translate": """
+            SELECT doc_id,
+                   translate(CAST(n_chars AS VARCHAR), '1234567890', '一二三四五六七八九零') AS translated
+            FROM documents
+        """,
+        "keyword_fuzzy_join": f"""
+            WITH kws(kw) AS (VALUES {kws}),
+                 toks AS (SELECT split_part(text, ' ', 1) AS tok FROM documents)
+            SELECT kw, count(*) AS n_matches
+            FROM toks CROSS JOIN kws
+            WHERE levenshtein(tok, kw) <= 1
+            GROUP BY kw
+        """,
+        "argmax_rank": """
+            SELECT s_nationkey,
+                   arg_max(s_name, s_acctbal) AS best_supplier,
+                   round(max(s_acctbal), 2) AS best_acctbal
+            FROM supplier
+            GROUP BY s_nationkey
+        """,
+        "confusion_topk": """
+            WITH pairs AS (
+                SELECT o_orderpriority, o_orderstatus, count(*) AS n
+                FROM orders GROUP BY o_orderpriority, o_orderstatus
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderpriority ORDER BY n DESC, o_orderstatus ASC) AS rk
+                FROM pairs
+            )
+            SELECT o_orderpriority, o_orderstatus, n FROM ranked WHERE rk = 1
+        """,
+        "changed_rows": r"""
+            SELECT doc_id
+            FROM documents
+            WHERE regexp_replace(text, '\b(table)\b', 'TABLE', 'g') <> text
+        """,
+        "group_metrics": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY event_type
+        """,
+        "turn_reassembly": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+            FROM events
+            WHERE user_id < 200
+            GROUP BY user_id
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS h, count(*) AS n_copies
+            FROM documents
+            GROUP BY md5(text)
+            HAVING count(*) > 1
+        """,
+        "dedup_stats": """
+            SELECT count(*) AS n_rows, count(DISTINCT md5(text)) AS n_unique
+            FROM documents
+        """,
+        "ngram_jaccard": f"""
+            WITH g AS (
+                SELECT doc_id, {ngrams} AS grams
+                FROM documents WHERE doc_id < 120
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CASE WHEN (len(a.grams) + len(b.grams)
+                                    - len(list_intersect(a.grams, b.grams))) > 0
+                              THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+                                   / (len(a.grams) + len(b.grams)
+                                      - len(list_intersect(a.grams, b.grams)))
+                              ELSE 0.0 END, 4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE round(CASE WHEN (len(a.grams) + len(b.grams)
+                                   - len(list_intersect(a.grams, b.grams))) > 0
+                             THEN len(list_intersect(a.grams, b.grams))::DOUBLE
+                                  / (len(a.grams) + len(b.grams)
+                                     - len(list_intersect(a.grams, b.grams)))
+                             ELSE 0.0 END, 4) >= 0.30
+        """,
+        "minhash_buckets": f"""
+            WITH g AS (
+                SELECT doc_id, {ngrams} AS grams FROM documents
+            ), sigs AS (
+                SELECT doc_id, {minhash_sig}
+                FROM g WHERE len(grams) > 0
+            )
+            SELECT mh_s1 || '|' || mh_s2 || '|' || mh_s3 || '|' || mh_s4 AS band_key,
+                   count(*) AS n_docs
+            FROM sigs
+            GROUP BY 1
+            HAVING count(*) > 1
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+                 scored AS (
+                    SELECT e.vec_id,
+                           round(
+                             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                      i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+                             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+                             6) AS cos_sim
+                    FROM embeddings e CROSS JOIN q
+                    WHERE e.vec_id <> 0
+                 )
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "text_quality": """
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+            SELECT doc_id,
+                   len(words) AS n_tokens,
+                   round(len(list_filter(words,
+                         x -> (x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')))::DOUBLE
+                         / len(words), 4) AS stopword_ratio,
+                   round((length(text) - len(words) + 1)::DOUBLE / len(words), 4) AS mean_token_len
+            FROM w
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

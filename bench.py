@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "corrected_turns_per_sec": ...}
+
+Headline = the flagship extraction+correction pipeline over a synthetic
+transcripts table sized from the sf's documents rowcount (the engine's
+BASELINE.md metric: corrected turns/sec), plus the heaviest SQL-analog
+operators (dedup LSH, cosine top-k, salted reassembly, pricing summary).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from ocr_corrector_spark.operators import sqlops
+    from ocr_corrector_spark.plans.pipeline import correct_pipeline
+    from ocr_corrector_spark.session import get_spark
+    from ocr_corrector_spark.sources.tables import load_table
+    from ocr_corrector_spark.sources.transcripts import gen_transcripts
+
+    spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=max(32, cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- headline: correction throughput ---------------------------------
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_convs = max(200, n_docs * 12)
+    transcripts = gen_transcripts(spark, n_convs=n_convs).persist()
+    n_turns = transcripts.count()  # materialize input outside the timed region
+
+    t0 = time.perf_counter()
+    corrected = correct_pipeline(transcripts, spark, order_output=True)
+    # checksum forces extraction + correction + the ordering shuffle
+    corrected.agg(
+        F.sum(F.length("text_corrected")), F.count(F.lit(1))
+    ).collect()
+    correct_sec = time.perf_counter() - t0
+    timings["flagship_correct"] = round(correct_sec, 3)
+    transcripts.unpersist()
+
+    # --- SQL-analog operators --------------------------------------------
+    for name in (
+        "minhash_buckets",
+        "ngram_jaccard",
+        "cosine_topk",
+        "turn_reassembly",
+        "pricing_summary",
+        "text_quality",
+        "keyword_fuzzy_join",
+    ):
+        fn = getattr(sqlops, f"q_{name}")
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (flagship correction + operator analogs)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_turns": n_turns,
+                "corrected_turns_per_sec": round(n_turns / correct_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,293 @@
+"""SQL-expressible operator analogs over the TPC-H-ish testdata.
+
+Each function here is the DataFrame-API form of one engine operator from
+SURVEY.md §2 (or a driver-mandated training-pipeline operator), written so
+that a DuckDB ANSI-SQL oracle can reproduce it bit-for-bit at sf=0.01
+(__spark_entry__.py pairs them).  Conventions for oracle-hash stability:
+
+* every computed column is aliased identically in both engines;
+* doubles are rounded; arrays are stringified (array_join) — the driver
+  hashes rendered values;
+* ties in top-k/argmax are broken by a deterministic secondary key.
+
+Plan-quality notes: filters and projections are expressed natively so
+they reach the parquet scan (PushedFilters / ReadSchema); small dimension
+sides are broadcast; aggregations rely on map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+# --- F3 analog: positional detection ----------------------------------------
+def q_err_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indices of the token 'spark' within each document's token stream —
+    the err-position vector shape of base_corrector.py:109-119 expressed
+    as a native array filter (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    pos = F.filter(
+        F.sequence(F.lit(0), F.size(words) - 1),
+        lambda i: F.element_at(words, i + 1) == F.lit("spark"),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(pos, ",").alias("err_pos_csv"),
+        F.size(pos).alias("n_hits"),
+    ).filter(F.col("n_hits") > 0)
+
+
+# --- T1 analog: digit → CJK-numeral rewrite ----------------------------------
+def q_digit_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bert_corrector.py:37-42 as a native translate() over a digit-bearing
+    column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.translate(F.col("n_chars").cast("string"), "1234567890", "一二三四五六七八九零").alias(
+            "translated"
+        ),
+    )
+
+
+# --- J1 analog: fuzzy keyword semi-join --------------------------------------
+FUZZY_KEYWORDS = ("spark", "scan", "sort", "join", "merge", "batch")
+
+
+def q_keyword_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BK-tree dictionary lookup (BKtree.py:49-72) as its set-semantics SQL
+    analog: levenshtein theta-join of each document's first token against a
+    broadcast keyword dimension, counted per keyword."""
+    docs = load_table(spark, sf_dir, "documents")
+    kws = spark.createDataFrame([(k,) for k in FUZZY_KEYWORDS], "kw string")
+    first = F.element_at(F.split(F.col("text"), " "), 1)
+    joined = docs.select(first.alias("tok")).join(
+        F.broadcast(kws), F.levenshtein(F.col("tok"), F.col("kw")) <= 1
+    )
+    return joined.groupBy("kw").agg(F.count(F.lit(1)).alias("n_matches"))
+
+
+# --- J2 analog: argmax candidate ranking --------------------------------------
+def q_argmax_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyword_corrector.py:84-99 argmax-accept as max_by per group:
+    for each nation, the supplier with the highest account balance."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.groupBy("s_nationkey").agg(
+        F.max_by("s_name", "s_acctbal").alias("best_supplier"),
+        F.round(F.max("s_acctbal"), 2).alias("best_acctbal"),
+    )
+
+
+# --- A3 analog: confusion-pair counting + top-1 -------------------------------
+def q_confusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_data.py:80-147 confusion statistics shape: count
+    (priority, status) pairs, keep each priority's most frequent status
+    (deterministic tie-break on status)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderpriority", "o_orderstatus", "n")
+    )
+
+
+# --- S5 analog: changed-rows diff ----------------------------------------------
+def q_changed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """demo.py:67-70 diff: rows altered by a rewrite (here: uppercase the
+    token 'table')."""
+    docs = load_table(spark, sf_dir, "documents")
+    rewritten = F.regexp_replace(F.col("text"), r"\btable\b", "TABLE")
+    return (
+        docs.select("doc_id", "text", rewritten.alias("text_corrected"))
+        .filter(F.col("text_corrected") != F.col("text"))
+        .select("doc_id")
+    )
+
+
+# --- A4 analog: per-group correction metrics -----------------------------------
+def q_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-metrics shape over events."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# --- F4 analog: salted order-preserving reassembly ------------------------------
+def q_turn_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving turn reassembly (base_corrector.py:88-94 at scale):
+    per user, the (ts, event_id)-ordered event_type sequence, built with the
+    salted two-stage aggregation from operators/reassemble.py."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    payload = F.struct("ts", "event_id", "event_type")
+    stage1 = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+        .groupBy("user_id", "_salt")
+        .agg(F.collect_list(payload).alias("_chunk"))
+    )
+    merged = stage1.groupBy("user_id").agg(
+        F.array_sort(F.flatten(F.collect_list("_chunk"))).alias("seq")
+    )
+    return merged.select(
+        "user_id",
+        F.array_join(F.transform("seq", lambda s: s.event_type), ",").alias("event_seq"),
+    )
+
+
+# --- dedup: exact ----------------------------------------------------------------
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate detection by content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.md5("text").alias("h")).groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    ).filter(F.col("n_copies") > 1)
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+# --- dedup: n-gram Jaccard near-dup -----------------------------------------------
+def _word_ngrams(words, n=3):
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + k + 1) for k in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard >= 0.30 within a bounded
+    id range (the brute-force baseline; the LSH path below is the scale
+    path)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", _word_ngrams(F.split("text", " ")).alias("grams"))
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.30)
+
+
+# --- dedup: MinHash banding (LSH scale path) ----------------------------------------
+MINHASH_SEEDS = ("s1", "s2", "s3", "s4")
+
+
+def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding: signature = per-seed min of md5(seed || word-3-gram);
+    band key = concat of the 4 minhashes.  Buckets with >1 doc are the LSH
+    candidate groups — the shuffle key that replaces the O(n²) cross join
+    at scale."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _word_ngrams(F.split("text", " ")).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    def _minhash(seed: str):
+        # NB: the lambda must be unary — a second parameter would make
+        # F.transform pass the element INDEX into it.
+        return F.array_min(
+            F.transform("grams", lambda g: F.md5(F.concat(F.lit(seed), g)))
+        ).alias(f"mh_{seed}")
+
+    sigs = docs.select("doc_id", *[_minhash(s) for s in MINHASH_SEEDS])
+    band = F.concat_ws("|", *[F.col(f"mh_{s}") for s in MINHASH_SEEDS])
+    return (
+        sigs.select(band.alias("band_key"), "doc_id")
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- similarity search: brute-force cosine top-k -------------------------------------
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding ANN baseline: cosine similarity of every vector against the
+    vec_id=0 query, top 10 (deterministic tie-break on vec_id).  Native
+    zip_with/aggregate dot products — JVM-side, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qvec))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
+    cos = dot(F.col("v"), F.col("q")) / (norm(F.col("v")) * norm(F.col("q")))
+    scored = joined.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+# --- text analysis: token stats / quality ---------------------------------------------
+STOPWORDS = ("the", "a", "of", "and")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-/quality-scoring shape: token count, stopword ratio, mean
+    token length — all native array ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_n = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.round(stop_n / F.size(words), 4).alias("stopword_ratio"),
+        F.round(
+            (F.length("text") - F.size(words) + 1) / F.size(words), 4
+        ).alias("mean_token_len"),
+    )
+
+
+# --- TPC-H Q1-style pricing summary (agg health check) ---------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
