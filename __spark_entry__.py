@@ -47,7 +47,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q.q_cosine_topk,
         "text_quality": q.q_text_quality,
         "pricing_summary": q.q_pricing_summary,
+        "simhash": q.q_simhash,
+        "embedding_neardup": q.q_embedding_neardup,
+        "ann_lsh_buckets": q.q_ann_lsh_buckets,
+        "lang_id": q.q_lang_id,
+        "token_count": q.q_token_count,
+        "fingerprint": q.q_fingerprint,
     }
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << i}) > 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    return f"""
+        WITH w AS (
+            SELECT doc_id, ('0x' || substring(md5(u.w), 1, 8))::BIGINT AS h
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+            WHERE length(u.w) > 0
+        ), s AS (
+            SELECT doc_id, {sums} FROM w GROUP BY doc_id
+        )
+        SELECT doc_id, ({sig})::BIGINT AS simhash FROM s
+    """
+
+
+def _ann_lsh_sql() -> str:
+    from ocr_corrector_spark.operators.sqlops import LSH_PLANES, _hyperplane
+
+    bits = []
+    for k in range(LSH_PLANES):
+        plane = ", ".join(str(c) for c in _hyperplane(k))
+        bits.append(
+            f"CASE WHEN round(list_sum(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ([{plane}])[i])), 6) > 0 "
+            f"THEN {1 << k} ELSE 0 END"
+        )
+    expr = " + ".join(bits)
+    return f"""
+        SELECT bucket, count(*) AS n_vecs FROM (
+            SELECT ({expr}) AS bucket FROM embeddings
+        ) GROUP BY bucket
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -204,5 +247,47 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "simhash": _simhash_sql(),
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+                 scored AS (
+                    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                           round(
+                             list_sum(list_transform(range(1, 65),
+                                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                             / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                                * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+                             6) AS cos_sim
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id
+                 )
+            SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+        """,
+        "ann_lsh_buckets": _ann_lsh_sql(),
+        "lang_id": """
+            SELECT doc_id,
+                   CASE WHEN length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+                             / length(text) >= 0.95
+                        THEN 'en' ELSE 'other' END AS lang_guess,
+                   CASE WHEN (CASE WHEN length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+                                        / length(text) >= 0.95
+                                   THEN 'en' ELSE 'other' END) = lang
+                        THEN 1 ELSE 0 END AS label_match
+            FROM documents
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S'))::BIGINT AS n_bpe_tokens
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ' '),
+                                      w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+            FROM documents
         """,
     }

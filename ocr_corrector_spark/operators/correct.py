@@ -53,6 +53,58 @@ def _get_kw_kernel(words: tuple):
     return hit
 
 
+def with_dispatched_correction(
+    df: DataFrame,
+    similarity_threshold: float = 0.55,
+    topn: int = 3,
+    keywords=KEYWORDS,
+    spark: SparkSession | None = None,
+    text_col: str = "text",
+    mode_col: str = "corr_mode",
+    out_col: str = "text_corrected",
+) -> DataFrame:
+    """Single-pass correction with per-row corrector dispatch.
+
+    ``mode_col``: 0 = pass-through, 1 = keyword path, 2 = bert path — the
+    Spark analog of the reference's biz_type registry
+    (corrector/__init__.py:20-38) without per-row Python objects and with
+    ONE Arrow transfer for the whole table (vs one per corrector).
+    """
+    spark = spark or SparkSession.getActiveSession()
+    bc_words = spark.sparkContext.broadcast(tuple(keywords))
+    bc_scorer = spark.sparkContext.broadcast(dict(SCORER_TABLE))
+
+    @F.pandas_udf(StringType())
+    def correct_udf(text: pd.Series, err_pos: pd.Series, mode: pd.Series) -> pd.Series:
+        char_sim = _get_char_sim()
+        tree, kwset = _get_kw_kernel(bc_words.value)
+        table = bc_scorer.value
+
+        def scorer(ch):
+            cands = table.get(ch)
+            if cands is None:
+                return topn_candidates(ch, topn)
+            return cands
+
+        out = []
+        for t, e, m in zip(text, err_pos, mode):
+            if m == 1 and t is not None:
+                out.append(
+                    keyword_correct_one(
+                        t, e, tree, kwset, char_sim, similarity_threshold
+                    )
+                )
+            elif m == 2 and t is not None:
+                out.append(bert_correct_one(t, e, char_sim, scorer, topn))
+            else:
+                out.append(t)
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, correct_udf(F.col(text_col), F.col("err_pos"), F.col(mode_col))
+    )
+
+
 def with_correction(
     df: DataFrame,
     corrector: str = "keyword",

@@ -209,19 +209,23 @@ def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key = concat of the 4 minhashes.  Buckets with >1 doc are the LSH
     candidate groups — the shuffle key that replaces the O(n²) cross join
     at scale."""
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", _word_ngrams(F.split("text", " ")).alias("grams"))
-        .filter(F.size("grams") > 0)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    def _minhash(seed: str):
-        # NB: the lambda must be unary — a second parameter would make
-        # F.transform pass the element INDEX into it.
-        return F.array_min(
-            F.transform("grams", lambda g: F.md5(F.concat(F.lit(seed), g)))
-        ).alias(f"mh_{seed}")
-
-    sigs = docs.select("doc_id", *[_minhash(s) for s in MINHASH_SEEDS])
+    # Explode grams so each md5 runs once per (gram, seed): an
+    # array_min(transform(...)) per seed would re-evaluate the (large)
+    # gram-construction expression once per seed after Catalyst collapses
+    # the projections.  min() over exploded rows equals array_min, and
+    # duplicate grams cannot change a min, so no distinct is needed.
+    grams = docs.select(
+        "doc_id", F.explode(_word_ngrams(F.split("text", " "))).alias("g")
+    )
+    sigs = grams.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.col("g")))).alias(f"mh_{s}")
+            for s in MINHASH_SEEDS
+        ]
+    )
     band = F.concat_ws("|", *[F.col(f"mh_{s}") for s in MINHASH_SEEDS])
     return (
         sigs.select(band.alias("band_key"), "doc_id")
@@ -291,3 +295,156 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# --- dedup: SimHash ---------------------------------------------------------------------
+SIMHASH_BITS = 32
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: each word hashes to a 32-bit value
+    (first 8 hex chars of md5); bit i of the signature is 1 iff the sum of
+    ±1 contributions over all words is positive.  Pure Catalyst: explode +
+    bitwise agg — the signature is the grouping key for near-dup candidate
+    buckets at scale (Hamming-adjacent bands)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    words = words.select("doc_id", h.alias("h"))
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+# --- similarity: embedding cosine near-dup pairs -------------------------------------------
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force over a bounded id
+    range — the correctness baseline for the LSH path below)."""
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+        * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.35)
+
+
+# --- similarity: random-hyperplane LSH bucketing (ANN scale path) ---------------------------
+LSH_PLANES = 8
+EMB_DIM = 64
+
+
+def _hyperplane(k: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5 parity — identical constant on
+    the Spark and DuckDB sides."""
+    import hashlib
+
+    comps = []
+    for i in range(EMB_DIM):
+        digest = hashlib.md5(f"hp{k}:{i}".encode()).hexdigest()
+        comps.append(1.0 if int(digest[0], 16) < 8 else -1.0)
+    return comps
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: 8 deterministic ±1 hyperplanes hash each
+    embedding to an 8-bit bucket; the bucket histogram is the candidate
+    structure that replaces the O(n²) cosine cross join at scale (probe the
+    query's bucket ± Hamming-1 neighbours)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def dot_lit(v, plane):
+        arr = F.array(*[F.lit(c) for c in plane])
+        return F.aggregate(
+            F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    bucket = None
+    for k in range(LSH_PLANES):
+        bit = F.when(F.round(dot_lit(F.col("v"), _hyperplane(k)), 6) > 0, F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+# --- text analysis: language-ID heuristic ----------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class language heuristic: ratio of [a-z ] chars >= 0.95 →
+    'en', else 'other'; checked against the table's lang label."""
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = F.length(F.regexp_replace(F.col("text"), "[^a-z ]", "")) / F.length("text")
+    guess = F.when(ratio >= 0.95, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).cast("int").alias("label_match"),
+    )
+
+
+# --- text analysis: BPE-ish token counting ----------------------------------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    ([a-z]+ | digit runs | any other non-space char)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|\S"), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+# --- text analysis: rolling-hash document fingerprint ------------------------------------------
+FP_MOD = 2147483647  # 2^31 - 1
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the word stream
+    (acc = (acc*31 + hash32(word)) mod 2^31-1) — an order-sensitive content
+    fingerprint, computed with a native F.aggregate fold (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    word_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")  # noqa: E731
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + word_hash(w)) % F.lit(FP_MOD),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

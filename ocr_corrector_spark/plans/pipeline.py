@@ -1,17 +1,25 @@
 """End-to-end correction plan (SURVEY.md §3 EP2, Spark shape).
 
-Stages:
-  scan → extraction (Arrow UDF, HTML rows only in effect)
-       → native detect (F1-F3 Catalyst expressions)
-       → per-biz correction (Arrow UDF with broadcast dictionaries)
-       → stable (conv_id, turn_idx) ordering (range-partitioned, skew-safe)
+Physical stage order (chosen from .explain — see BENCH/PLANS.md):
+
+  scan → repartitionByRange(conv_id, turn_idx) + sortWithinPartitions
+       → extraction (Arrow UDF)
+       → native detect (F1-F3 Catalyst expressions, whole-stage codegen)
+       → single dispatched correction UDF (broadcast dictionaries)
+
+Ordering runs FIRST, on the cheap scan: a range shuffle placed after the
+UDFs would re-execute them once more for range-boundary sampling, and the
+UDF stages are narrow (row-order preserving), so sorting the input yields
+sorted output for free.  Range partitioning (vs hash) splits skewed
+conv_ids across contiguous partitions — no hot executor.
 
 The per-biz dispatch mirrors the reference's corrector registry
 (corrector/__init__.py:20-38: biz 'report' → keyword corrector, 'doc' →
-BERT corrector) as ONE declarative plan: both correction columns are
-computed by vectorized UDFs whose kernels no-op unless the row's
-``needs_correction`` flag for that corrector is set, and a CASE picks the
-right one — no per-row object dispatch, no DataFrame split/merge.
+BERT corrector) as ONE plan: a native ``corr_mode`` column (0 pass /
+1 keyword / 2 bert) drives a single vectorized UDF — one Arrow transfer
+for the whole table, no DataFrame split/merge (the reference's
+insert-by-index post_process, base_corrector.py:88-94, is replaced by key
+ordering).
 """
 
 from __future__ import annotations
@@ -19,8 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.correct import with_correction
-from ..operators.detect import with_error_detection
+from ..operators.correct import with_dispatched_correction
+from ..operators.detect import eligible_bert, eligible_keyword, err_positions
 from ..operators.extract import with_extraction
 from ..operators.reassemble import order_turns
 
@@ -35,35 +43,28 @@ def correct_pipeline(
     order_output: bool = True,
 ) -> DataFrame:
     """Adds ``text_corrected`` (+ ``text`` rewritten by extraction)."""
+    if order_output:
+        df = order_turns(df)
     if extract_html:
         df = with_extraction(df)
 
+    text = F.col("text")
     is_report = F.col(biz_col) == F.lit("report")
-
-    kw = with_error_detection(df, corrector="keyword", prob_threshold=prob_threshold)
-    kw = kw.withColumn("needs_correction", F.col("needs_correction") & is_report)
-    kw = with_correction(
-        kw,
-        corrector="keyword",
+    err = err_positions(text, F.col("probs"), prob_threshold)
+    eligible = F.when(is_report, eligible_keyword(text)).otherwise(eligible_bert(text))
+    df = df.withColumn("err_pos", err)
+    df = df.withColumn(
+        "corr_mode",
+        F.when(~eligible | (F.size("err_pos") == 0), F.lit(0))
+        .when(is_report, F.lit(1))
+        .otherwise(F.lit(2)),
+    )
+    out = with_dispatched_correction(
+        df,
         similarity_threshold=keyword_similarity_threshold,
         spark=spark,
-        out_col="_kw_corrected",
-    ).drop("eligible", "err_pos", "needs_correction")
-
-    bert = with_error_detection(kw, corrector="bert", prob_threshold=prob_threshold)
-    bert = bert.withColumn("needs_correction", F.col("needs_correction") & ~is_report)
-    out = with_correction(
-        bert, corrector="bert", spark=spark, out_col="_bert_corrected"
-    ).drop("eligible", "err_pos", "needs_correction")
-
-    out = out.withColumn(
-        "text_corrected",
-        F.when(is_report, F.col("_kw_corrected")).otherwise(F.col("_bert_corrected")),
-    ).drop("_kw_corrected", "_bert_corrected")
-
-    if order_output:
-        out = order_turns(out)
-    return out
+    )
+    return out.drop("err_pos", "corr_mode")
 
 
 def changed_rows(df: DataFrame) -> DataFrame:
