@@ -1,0 +1,149 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+A 100TB training-data pipeline carries media alongside text; this module
+provides the Spark-side plumbing — schema, Arrow batch shape, partition
+-friendly UDF signatures — with the codec step STUBBED (image/audio
+libraries are not in this container):
+
+* ``media_schema()``: binary payload + typed metadata struct;
+* ``with_media_metadata``: real, tested: parses a compact deterministic
+  header from the binary payload (magic, width, height, n_frames) with a
+  vectorized ``mapInPandas`` — the exact batch shape a real decoder UDF
+  has;
+* ``decode_image`` / ``extract_audio_features`` / ``sample_video_frames``:
+  clearly-marked stubs that raise NotImplementedError unless the optional
+  library import succeeds; their signatures, return schemas and batching
+  are final.
+
+The synthetic header format (tests/test_multimodal.py): 16 bytes =
+4s magic ('IMG0'/'AUD0'/'VID0') + uint32 width + uint32 height +
+uint32 n_frames (little-endian), followed by payload bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_HEADER = struct.Struct("<4sIII")
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("payload_bytes", LongType()),
+    ]
+)
+
+
+def media_schema() -> StructType:
+    return StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+
+
+def pack_header(media_type: str, width: int, height: int, n_frames: int, payload: bytes = b"") -> bytes:
+    """Test/datagen helper: serialize the synthetic header."""
+    magic = {"image": b"IMG0", "audio": b"AUD0", "video": b"VID0"}[media_type]
+    return _HEADER.pack(magic, width, height, n_frames) + payload
+
+
+def _parse_header(b) -> tuple:
+    if b is None or len(b) < _HEADER.size:
+        return (None, None, None, None, len(b) if b is not None else None)
+    magic, w, h, nf = _HEADER.unpack_from(bytes(b[: _HEADER.size]))
+    kind = {b"IMG0": "image", b"AUD0": "audio", b"VID0": "video"}.get(magic)
+    return (kind, w, h, nf, len(b) - _HEADER.size)
+
+
+def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Vectorized header parse → typed metadata struct.  mapInPandas keeps
+    the binary column zero-copy in Arrow and lets a real decoder slot in
+    without plan changes."""
+    out_schema = StructType(
+        df.schema.fields + [StructField("media_meta", MEDIA_META_SCHEMA)]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf[content_col].map(_parse_header)
+            pdf = pdf.copy()
+            pdf["media_meta"] = [
+                {
+                    "media_type": p[0],
+                    "width": p[1],
+                    "height": p[2],
+                    "n_frames": p[3],
+                    "payload_bytes": p[4],
+                }
+                for p in parsed
+            ]
+            yield pdf
+
+    return df.mapInPandas(parse, out_schema)
+
+
+def _try_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """STUB: real impl decodes to (height, width, channels) + a thumbnail
+    via PIL inside the same mapInPandas shape as with_media_metadata."""
+    if _try_import("PIL") is None:
+        raise NotImplementedError(
+            "image decoding requires Pillow, not present in this container; "
+            "the Spark plumbing (schema/batching) is with_media_metadata"
+        )
+    raise NotImplementedError("wire PIL.Image.open over the Arrow binary batches")
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """STUB: real impl computes MFCC-style features via an audio lib."""
+    if _try_import("soundfile") is None and _try_import("librosa") is None:
+        raise NotImplementedError(
+            "audio feature extraction requires soundfile/librosa, not present"
+        )
+    raise NotImplementedError("wire the audio decoder over the Arrow binary batches")
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 10, content_col: str = "content"
+) -> DataFrame:
+    """Deterministic frame sampling over the synthetic header metadata —
+    REAL plumbing (which frame indices a decoder would extract), decode
+    itself stubbed."""
+    with_meta = with_media_metadata(df, content_col)
+    return with_meta.withColumn(
+        "sampled_frames",
+        F.when(
+            F.col("media_meta.media_type") == "video",
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("media_meta.n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )

@@ -1,0 +1,56 @@
+"""Structured Streaming variant of the correction pipeline.
+
+The reference is batch-only (SURVEY.md §2g), but a transcripts table at
+10^12-turn scale is fed continuously; this module runs the SAME operator
+graph (extraction → native detect → dispatched correction UDF) over a
+``readStream`` source.  Every stage is stateless/narrow, so the stream
+needs no state store; the optional windowed metrics stream uses a
+watermark for late turns.
+
+Typical wiring::
+
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    q = streaming_correct(src, spark).writeStream \
+        .format("parquet").option("path", out_dir) \
+        .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import correct_pipeline
+
+
+def streaming_correct(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """The batch plan applied to a streaming DataFrame.  ``order_output``
+    is off (global sort is undefined on an unbounded stream — downstream
+    sinks cluster by (conv_id, turn_idx) per micro-batch instead)."""
+    return correct_pipeline(stream_df, spark, order_output=False)
+
+
+def streaming_metrics(
+    corrected: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed correction metrics with late-data handling: per event-time
+    window and biz, rows seen / rows corrected."""
+    return (
+        corrected.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("text") != F.col("text_corrected")).cast("long")).alias(
+                "n_corrected"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tool",
+            "n_rows",
+            "n_corrected",
+        )
+    )

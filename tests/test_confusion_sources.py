@@ -1,0 +1,70 @@
+"""Offline confusion-statistics job (A3) and reference-shaped sources (S1/S3)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_corrector_spark.operators.confusion import (
+    char_occurrences,
+    confusion_pair_counts,
+    mask_probabilities,
+    top_confusions,
+)
+from ocr_corrector_spark.sources.ocr_json import parse_ali_result, read_ocr_fixture
+
+
+def test_confusion_stats(spark):
+    pairs = spark.createDataFrame(
+        [("大", "天")] * 5 + [("太", "天")] * 2 + [("白", "自")] * 3,
+        "wrong_char string, correct_char string",
+    )
+    counts = confusion_pair_counts(pairs)
+    top = {r.correct_char: (r.wrong_char, r.n) for r in top_confusions(counts).collect()}
+    assert top["天"] == ("大", 5)
+    assert top["自"] == ("白", 3)
+
+    occ = spark.createDataFrame(
+        [("天", 10), ("自", 2)], "correct_char string, n_occ long"
+    )
+    mp = {r.correct_char: r.mask_prob for r in mask_probabilities(counts, occ).collect()}
+    assert mp["天"] == pytest.approx(0.5)   # 5/10
+    assert mp["自"] == 1.0                  # min(3/2, 1.0) — create_data.py:139-147 cap
+
+
+def test_char_occurrences(spark):
+    corpus = spark.createDataFrame([("天天向上",), ("天",)], "text string")
+    occ = {r.correct_char: r.n_occ for r in char_occurrences(corpus).collect()}
+    assert occ["天"] == 3
+    assert occ["上"] == 1
+
+
+def test_read_ocr_fixture(spark, tmp_path):
+    # S1: the reference golden fixture shape (demo.py:24-34)
+    fixture = {"texts": ["宋还本全", "账户状态"], "probs": [[0.5, 0.99, 0.99, 0.5], [0.99] * 4]}
+    p = tmp_path / "f.json"
+    p.write_text(json.dumps(fixture), encoding="utf-8")
+    rows = read_ocr_fixture(spark, str(p)).orderBy("line_idx").collect()
+    assert [r.text for r in rows] == ["宋还本全", "账户状态"]
+    assert rows[0].line_idx == 0
+    assert rows[0].probs == [0.5, 0.99, 0.99, 0.5]
+
+
+def test_parse_ali_result(spark):
+    # S3: vendor response projection (ali_ocr.py:36-53): prob/100
+    data = [
+        (
+            [
+                {"word": "未还本金", "charInfo": [{"prob": 99}, {"prob": 56}, {"prob": 99}, {"prob": 99}]},
+                {"word": "逾期天", "charInfo": [{"prob": 90}, {"prob": 88}, {"prob": 99}]},
+            ],
+        )
+    ]
+    schema = (
+        "prism_wordsInfo array<struct<word:string,charInfo:array<struct<prob:bigint>>>>"
+    )
+    df = spark.createDataFrame(data, schema)
+    rows = parse_ali_result(df).orderBy("line_idx").collect()
+    assert rows[0].text == "未还本金"
+    assert rows[0].probs == [0.99, 0.56, 0.99, 0.99]
+    assert rows[1].line_idx == 1

@@ -1,0 +1,68 @@
+"""Structured Streaming variant: same correction semantics as batch over a
+file stream with availableNow trigger; windowed metrics with watermark."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_corrector_spark.plans.pipeline import correct_pipeline
+from ocr_corrector_spark.sources.transcripts import gen_transcripts
+from ocr_corrector_spark.streaming import streaming_correct, streaming_metrics
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    df = gen_transcripts(spark, n_convs=30)
+    df.write.mode("overwrite").parquet(path)
+    return path, df.schema
+
+
+def test_streaming_matches_batch(spark, stream_input, tmp_path):
+    in_dir, schema = stream_input
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        streaming_correct(src, spark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = sorted(
+        spark.read.parquet(out_dir)
+        .select("conv_id", "turn_idx", "text_corrected")
+        .collect()
+    )
+    batch = sorted(
+        correct_pipeline(spark.read.parquet(in_dir), spark, order_output=False)
+        .select("conv_id", "turn_idx", "text_corrected")
+        .collect()
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
+def test_streaming_windowed_metrics(spark, stream_input, tmp_path):
+    in_dir, schema = stream_input
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    corrected = streaming_correct(src, spark)
+    metrics = streaming_metrics(corrected, window="10 minutes", watermark="5 minutes")
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("m")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM m").collect()
+    # append mode only emits windows the watermark has closed; with
+    # availableNow over a finite input the final windows may be withheld —
+    # the schema contract is what we assert here, plus non-crash.
+    for r in rows:
+        assert r.n_rows >= r.n_corrected >= 0
