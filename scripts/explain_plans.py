@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Capture formatted physical plans for the headline queries into
+BENCH/PLANS.md — the scale-review artifact (pushed filters, codegen spans,
+shuffle/broadcast placement)."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    from ocr_corrector_spark.operators import sqlops
+    from ocr_corrector_spark.plans.pipeline import correct_pipeline
+    from ocr_corrector_spark.session import get_spark
+    from ocr_corrector_spark.sources.transcripts import gen_transcripts
+
+    spark = get_spark(app_name="explain", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = {}
+    sections["flagship_correct_pipeline"] = explain(
+        correct_pipeline(gen_transcripts(spark, n_convs=100), spark)
+    )
+    for name in (
+        "pricing_summary",
+        "minhash_buckets",
+        "cosine_topk",
+        "turn_reassembly",
+        "keyword_fuzzy_join",
+        "err_positions",
+    ):
+        sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("# Physical plans (explain formatted)\n\n")
+        f.write(
+            "Review notes: native filters/projections reach the parquet scan "
+            "(PushedFilters/ReadSchema); detection expressions sit inside "
+            "WholeStageCodegen; the only wide stages are the input range "
+            "shuffle (ordering) and the agg shuffles; dictionary joins are "
+            "BroadcastHashJoin; the Arrow UDF stages are ArrowEvalPython.\n"
+        )
+        for name, plan in sections.items():
+            f.write(f"\n## {name}\n\n```\n{plan}\n```\n")
+    print("wrote BENCH/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
