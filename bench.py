@@ -39,18 +39,35 @@ def main() -> None:
 
     # --- headline: correction throughput ---------------------------------
     n_docs = load_table(spark, sf_dir, "documents").count()
-    n_convs = max(200, n_docs * 12)
+    # SPARK_GRAFT_SCALE_MULT scales the synthetic input (scaling runs use a
+    # larger multiple so compute dominates fixed per-job overhead)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "12"))
+    n_convs = max(200, n_docs * mult)
     transcripts = gen_transcripts(spark, n_convs=n_convs).persist()
     n_turns = transcripts.count()  # materialize input outside the timed region
 
-    t0 = time.perf_counter()
-    corrected = correct_pipeline(transcripts, spark, order_output=True)
-    # checksum forces extraction + correction + the ordering shuffle
-    corrected.agg(
-        F.sum(F.length("text_corrected")), F.count(F.lit(1))
-    ).collect()
-    correct_sec = time.perf_counter() - t0
+    def run_pipeline(frame):
+        corrected = correct_pipeline(frame, spark, order_output=True)
+        # checksum forces extraction + correction + the ordering shuffle
+        corrected.agg(F.sum(F.length("text_corrected")), F.count(F.lit(1))).collect()
+
+    # Warm-up: the FIRST execution of each UDF in a session pays a one-time
+    # per-Python-worker ramp (closure unpickle + module/pandas imports in
+    # every worker; ~15s at local[32]).  A 10^12-turn job amortizes that to
+    # zero, so the headline metric is STEADY-STATE throughput: warm all
+    # workers through the real pipeline on a small slice, then take the
+    # median of 3 timed runs.
+    run_pipeline(
+        gen_transcripts(spark, n_convs=max(64, cpus * 8)).repartition(cpus * 2)
+    )
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_pipeline(transcripts)
+        reps.append(time.perf_counter() - t0)
+    correct_sec = sorted(reps)[1]
     timings["flagship_correct"] = round(correct_sec, 3)
+    flagship_reps = [round(r, 3) for r in reps]
     transcripts.unpersist()
 
     # --- SQL-analog operators --------------------------------------------
@@ -79,6 +96,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "n_turns": n_turns,
+                "flagship_reps": flagship_reps,
                 "corrected_turns_per_sec": round(n_turns / correct_sec, 1),
             }
         )

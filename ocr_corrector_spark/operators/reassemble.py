@@ -30,10 +30,16 @@ from pyspark.sql import functions as F
 
 def order_turns(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     keys = [F.col("conv_id"), F.col("turn_idx")]
-    if num_partitions:
-        df = df.repartitionByRange(num_partitions, *keys)
-    else:
-        df = df.repartitionByRange(*keys)
+    if num_partitions is None:
+        # Explicit partition count: downstream of this exchange run the
+        # Arrow-UDF correction stages, whose cost is per-ROW (Python), not
+        # per-byte — AQE's byte-based partition coalescing would collapse a
+        # small-but-expensive stage onto a handful of cores.  An explicit
+        # count opts this exchange out of coalescing; size it to the
+        # session's shuffle parallelism.
+        spark = df.sparkSession
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = df.repartitionByRange(num_partitions, *keys)
     return df.sortWithinPartitions(*keys)
 
 

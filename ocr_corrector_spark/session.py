@@ -34,6 +34,12 @@ def get_spark(
         # regardless of input partition size (SURVEY.md §4)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # stragglers: occasional tasks blocked on environment flakiness get
+        # speculatively re-launched — the standard cluster answer, effective
+        # in local mode too
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "2")
+        .config("spark.speculation.quantile", "0.75")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Cluster job entrypoint — the spark-submit form of the flagship pipeline.
+
+On a real cluster::
+
+    zip -r engine.zip ocr_corrector_spark
+    spark-submit --py-files engine.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.adaptive.skewJoin.enabled=true \
+        scripts/run_job.py \
+        --input  <iceberg-or-parquet transcripts table/path> \
+        --output <output path> \
+        --audit  <audit table path> \
+        --watermarks <checkpoint path> \
+        --run-id r1 --buckets 256
+
+Resumable: re-submitting with the same --run-id skips committed buckets
+(plans/checkpoint.py); output converges to the clean-run result via
+dynamic partition overwrite.  In this sandbox it runs on local[N] against
+the synthetic generator when --input is omitted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="transcripts parquet path (default: synthetic)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--audit", required=True)
+    ap.add_argument("--watermarks", required=True)
+    ap.add_argument("--run-id", default="run-1")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--n-convs", type=int, default=10000, help="synthetic scale if no --input")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from ocr_corrector_spark.plans.audit import write_audit
+    from ocr_corrector_spark.plans.checkpoint import CheckpointedRun
+    from ocr_corrector_spark.plans.pipeline import correct_pipeline
+
+    spark = SparkSession.builder.appName("ocr-correct-job").getOrCreate()
+    if spark.sparkContext.master.startswith("local") and args.input is None:
+        from ocr_corrector_spark.sources.transcripts import gen_transcripts
+
+        df = gen_transcripts(spark, n_convs=args.n_convs)
+    else:
+        df = spark.read.parquet(args.input)
+
+    run = CheckpointedRun(
+        run_id=args.run_id,
+        output_path=args.output,
+        watermark_path=args.watermarks,
+        n_buckets=args.buckets,
+    )
+
+    def transform(d):
+        out = correct_pipeline(d, spark)
+        write_audit(out, args.run_id, args.audit)
+        return out
+
+    done = run.run(spark, df, transform)
+    print(f"completed {done} buckets (run_id={args.run_id})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
