@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q.q_lang_id,
         "token_count": q.q_token_count,
         "fingerprint": q.q_fingerprint,
+        "ivf_assign": q.q_ivf_assign,
+        "ivf_list_sizes": q.q_ivf_list_sizes,
     }
 
 
@@ -289,5 +291,40 @@ def oracle_sql() -> dict[str, str]:
                                       w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
                      (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
             FROM documents
+        """,
+        "ivf_assign": """
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding AS c
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, cents.centroid_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             i -> (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE)
+                                  * (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE))), 6) AS l2
+                FROM embeddings e CROSS JOIN cents
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rk
+                FROM scored
+            )
+            SELECT vec_id, centroid_id, l2 FROM ranked WHERE rk = 1
+        """,
+        "ivf_list_sizes": """
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding AS c
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, cents.centroid_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             i -> (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE)
+                                  * (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE))), 6) AS l2
+                FROM embeddings e CROSS JOIN cents
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rk
+                FROM scored
+            )
+            SELECT centroid_id, count(*) AS n_vecs FROM ranked WHERE rk = 1
+            GROUP BY centroid_id
         """,
     }

@@ -448,3 +448,48 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, w: (acc * 31 + word_hash(w)) % F.lit(FP_MOD),
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --- similarity: IVF-style inverted-list assignment (ANN alternative) --------------------------
+IVF_K = 8
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: centroids = the first IVF_K vectors
+    (deterministic stand-in for a k-means codebook); every vector is
+    assigned to its nearest centroid by L2 (tie-break on centroid id).
+    The (centroid_id → vectors) inverted lists are the probe structure that
+    bounds ANN search to one list instead of the full table at scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", l2.alias("l2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("l2"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id", "l2")
+    )
+
+
+def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list histogram — the balance check for the IVF codebook."""
+    return (
+        q_ivf_assign(spark, sf_dir)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )

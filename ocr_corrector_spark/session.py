@@ -40,7 +40,7 @@ def get_spark(
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "2")
         .config("spark.speculation.quantile", "0.75")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
