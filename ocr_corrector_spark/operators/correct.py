@@ -31,6 +31,19 @@ from ..functions.correct_kernels import bert_correct_one, keyword_correct_one
 # batches and tasks in the same Python worker process
 _KW_CACHE: dict = {}
 _CHAR_SIM_CACHE: dict = {}
+_ROW_CACHE_MAX = 200_000
+# row-result memos per correction config — worker-global so the memo
+# survives across tasks (a closure dict would be re-deserialized fresh
+# with every task's UDF command)
+_ROW_CACHES: dict = {}
+
+
+def _get_row_cache(config_key) -> dict:
+    cache = _ROW_CACHES.get(config_key)
+    if cache is None:
+        cache = {}
+        _ROW_CACHES[config_key] = cache
+    return cache
 
 
 def _get_char_sim() -> CharSim:
@@ -73,6 +86,11 @@ def with_dispatched_correction(
     spark = spark or SparkSession.getActiveSession()
     bc_words = spark.sparkContext.broadcast(tuple(keywords))
     bc_scorer = spark.sparkContext.broadcast(dict(SCORER_TABLE))
+    # Memo config signature: correction is a pure function of (mode, text,
+    # err_pos) GIVEN the dictionaries/thresholds, and OCR'd transcript
+    # segments are highly repetitive (form labels, boilerplate turns) — so
+    # each Python worker memoizes row results across batches AND tasks.
+    cache_key = (similarity_threshold, topn, hash(tuple(keywords)))
 
     @F.pandas_udf(StringType())
     def correct_udf(text: pd.Series, err_pos: pd.Series, mode: pd.Series) -> pd.Series:
@@ -86,18 +104,25 @@ def with_dispatched_correction(
                 return topn_candidates(ch, topn)
             return cands
 
+        cache = _get_row_cache(cache_key)
         out = []
         for t, e, m in zip(text, err_pos, mode):
-            if m == 1 and t is not None:
-                out.append(
-                    keyword_correct_one(
+            if m not in (1, 2) or t is None:
+                out.append(t)
+                continue
+            key = (m, t, tuple(e))
+            hit = cache.get(key)
+            if hit is None:
+                if m == 1:
+                    hit = keyword_correct_one(
                         t, e, tree, kwset, char_sim, similarity_threshold
                     )
-                )
-            elif m == 2 and t is not None:
-                out.append(bert_correct_one(t, e, char_sim, scorer, topn))
-            else:
-                out.append(t)
+                else:
+                    hit = bert_correct_one(t, e, char_sim, scorer, topn)
+                if len(cache) >= _ROW_CACHE_MAX:
+                    cache.pop(next(iter(cache)))
+                cache[key] = hit
+            out.append(hit)
         return pd.Series(out)
 
     return df.withColumn(

@@ -74,3 +74,11 @@ def test_correction_never_crashes_or_changes_length(text, errs):
 def test_sentence_cut_lossless(line):
     # cutting never loses or reorders characters
     assert "".join(cut_sentences(line)) == line
+
+
+@given(st.text(max_size=80), st.text(max_size=80))
+@settings(max_examples=500, deadline=None)
+def test_myers_equals_dp(a, b):
+    from ocr_corrector_spark.functions.editdist import _py_levenshtein
+
+    assert edit_distance(a, b) == _py_levenshtein(a, b)
