@@ -107,6 +107,40 @@ def gen_transcripts(
     turns = turns.withColumn("corpus_idx", pick)
     df = turns.join(F.broadcast(corpus_df(spark)), "corpus_idx")
 
+    # High-cardinality variant rows (~half): append a unique CJK suffix so
+    # the corpus is not a handful of distinct strings — the correction
+    # kernels (and their memo) see realistic cardinality.  Error positions
+    # stay in the prefix, so the designed corrections still apply on the
+    # doc path; keyword-path variants exercise the BK-search miss path.
+    suffix = F.concat(
+        F.lit("。编号"),
+        F.translate(
+            F.lpad(
+                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(13)), F.lit(100000)).cast(
+                    "string"
+                ),
+                5,
+                "0",
+            ),
+            "0123456789",
+            "零一二三四五六七八九",
+        ),
+    )
+    is_variant = (
+        F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(29)), F.lit(2)) == 0
+    ) & (F.length("text_noisy") > 4)
+    df = df.withColumn(
+        "text_noisy",
+        F.when(is_variant, F.concat(F.col("text_noisy"), suffix)).otherwise(
+            F.col("text_noisy")
+        ),
+    ).withColumn(
+        "text_clean",
+        F.when(is_variant, F.concat(F.col("text_clean"), suffix)).otherwise(
+            F.col("text_clean")
+        ),
+    )
+
     # per-char probs over the INNER (pre-HTML-wrap) noisy text: 0.99
     # everywhere, dipping to the README's published 0.56 at injected errors
     probs = F.when(
