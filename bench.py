@@ -43,8 +43,23 @@ def main() -> None:
     # larger multiple so compute dominates fixed per-job overhead)
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "12"))
     n_convs = max(200, n_docs * mult)
-    transcripts = gen_transcripts(spark, n_convs=n_convs).persist()
-    n_turns = transcripts.count()  # materialize input outside the timed region
+    # One frame PER REP, distinct seeds: the correction stage memoizes row
+    # results inside each Python worker (legitimate for repetitive OCR
+    # boilerplate), so timing the SAME input repeatedly would measure the
+    # memo, not the engine.  Distinct seeds give same-shaped, textually
+    # distinct inputs — each rep is an honest cold-data run.
+    # Fixed 128-partition input regardless of core count: scaling runs
+    # compare local[N] vs local[4N] on the SAME materialized input — if the
+    # partition count tracked cores, the small config would run few fat
+    # partitions with terrible straggler sensitivity and the ratio would
+    # measure load balance, not the engine.
+    frames = [
+        gen_transcripts(spark, n_convs=n_convs, seed=s).repartition(128).persist()
+        for s in (1, 2, 3)
+    ]
+    n_turns = frames[0].count()  # materialize outside the timed region
+    for fr in frames[1:]:
+        fr.count()
 
     def run_pipeline(frame):
         corrected = correct_pipeline(frame, spark, order_output=True)
@@ -55,23 +70,27 @@ def main() -> None:
     # per-Python-worker ramp (closure unpickle + module/pandas imports in
     # every worker; ~15s at local[32]).  A 10^12-turn job amortizes that to
     # zero, so the headline metric is STEADY-STATE throughput: warm all
-    # workers through the real pipeline on a small slice, then take the
-    # median of 3 timed runs.
+    # workers through the real pipeline on a small slice (seed 99, disjoint
+    # from the timed seeds), then time one run per frame.
     run_pipeline(
-        gen_transcripts(spark, n_convs=max(64, cpus * 8)).repartition(cpus * 2)
+        gen_transcripts(spark, n_convs=max(64, cpus * 8), seed=99).repartition(
+            cpus * 2
+        )
     )
     reps = []
-    for _ in range(3):
+    for fr in frames:
         t0 = time.perf_counter()
-        run_pipeline(transcripts)
+        run_pipeline(fr)
         reps.append(time.perf_counter() - t0)
-    # min of 3: this sandbox exhibits sporadic multi-second idle task
-    # stalls (environmental, rescued by speculation when long enough);
-    # min is the robust steady-state estimator — all reps are reported.
+    # min of 3 distinct-seed runs: this sandbox exhibits sporadic
+    # multi-second idle task stalls (environmental, rescued by speculation
+    # when long enough); min is the robust steady-state estimator — all
+    # reps are reported.
     correct_sec = min(reps)
     timings["flagship_correct"] = round(correct_sec, 3)
     flagship_reps = [round(r, 3) for r in reps]
-    transcripts.unpersist()
+    for fr in frames:
+        fr.unpersist()
 
     # --- SQL-analog operators (steady state: warm once, median of 3) ------
     for name in (

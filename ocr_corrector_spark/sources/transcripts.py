@@ -90,8 +90,15 @@ def gen_transcripts(
     heavy_turns: int = 200,
     html_fraction_denom: int = 5,
     keep_oracle_cols: bool = False,
+    seed: int = 0,
 ) -> DataFrame:
-    """Deterministic transcripts table; ~n_convs * ~5.5 rows (+ heavy tail)."""
+    """Deterministic transcripts table; ~n_convs * ~5.5 rows (+ heavy tail).
+
+    ``seed`` is folded into every hash-derived choice (corpus pick, variant
+    suffix, html flag) so distinct seeds yield same-shaped but textually
+    distinct tables — the bench protocol times each rep on a fresh seed so
+    worker-side memoization cannot ride across reps.
+    """
     convs = spark.range(n_convs).withColumn(
         "n_turns",
         F.when(F.pmod(F.col("id"), F.lit(heavy_every)) == 0, F.lit(heavy_turns))
@@ -103,7 +110,9 @@ def gen_transcripts(
         F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
     ).withColumn("turn_idx", F.col("turn_idx").cast("int"))
 
-    pick = F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(len(CORPUS)))
+    pick = F.pmod(
+        F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(seed)), F.lit(len(CORPUS))
+    )
     turns = turns.withColumn("corpus_idx", pick)
     df = turns.join(F.broadcast(corpus_df(spark)), "corpus_idx")
 
@@ -116,7 +125,10 @@ def gen_transcripts(
         F.lit("。编号"),
         F.translate(
             F.lpad(
-                F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(13)), F.lit(100000)).cast(
+                F.pmod(
+                    F.xxhash64("conv_id", "turn_idx", F.lit(13), F.lit(seed)),
+                    F.lit(100000),
+                ).cast(
                     "string"
                 ),
                 5,
@@ -127,7 +139,7 @@ def gen_transcripts(
         ),
     )
     is_variant = (
-        F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(29)), F.lit(2)) == 0
+        F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit(29), F.lit(seed)), F.lit(2)) == 0
     ) & (F.length("text_noisy") > 4)
     df = df.withColumn(
         "text_noisy",
@@ -154,8 +166,13 @@ def gen_transcripts(
     ).otherwise(F.array().cast("array<double>"))
     df = df.withColumn("probs", probs)
 
-    is_html = F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(7)),
-                     F.lit(html_fraction_denom)) == 0
+    is_html = (
+        F.pmod(
+            F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(7), F.lit(seed)),
+            F.lit(html_fraction_denom),
+        )
+        == 0
+    )
     df = df.withColumn("is_html", is_html)
     df = df.withColumn(
         "text",

@@ -77,14 +77,24 @@ efficiency from N to 4N parallelism evidenced by running the identical job at
 `local[{n}]` and `local[{4 * n}]` on the same input (fresh JVM each; no real
 cluster in this sandbox).
 
+Each config times 3 reps of the full extraction+correction pipeline, each
+rep on a distinct-seed input of identical size/shape (defeats the worker
+row-memo across reps; see bench.py), input fixed at 128 partitions at both
+core counts.  min-of-3 is the steady-state estimator — this sandbox shows
+sporadic multi-second environmental stalls, so all reps are reported.
+
 | metric | value |
 |---|---|
 | input turns | {r_n['n_turns']} |
 | sf dir | {sf_dir} |
 | corrected turns/sec @ local[{n}] | {thr_n} |
 | corrected turns/sec @ local[{4 * n}] | {thr_4n} |
+| per-core turns/sec @ local[{n}] | {thr_n / n:.1f} |
+| per-core turns/sec @ local[{4 * n}] | {thr_4n / (4 * n):.1f} |
 | scaling efficiency thr(4N)/(4·thr(N)) | {eff:.3f} |
 | target | ≥ 0.8 |
+| flagship rep seconds @ local[{n}] | {r_n['flagship_reps']} |
+| flagship rep seconds @ local[{4 * n}] | {r_4n['flagship_reps']} |
 
 Per-query wall seconds @ local[{4 * n}]:
 
