@@ -64,6 +64,11 @@ class CheckpointedRun:
         """Process pending buckets in waves; returns #buckets completed this
         call.  ``transform(df) -> df`` is the correction pipeline.
         ``max_waves`` lets tests simulate a mid-run crash."""
+        # Idempotence depends on DYNAMIC partition overwrite: with the
+        # default static mode every wave's write would wipe the buckets
+        # committed by earlier waves.  The session a cluster submit hands
+        # us need not have it set, so enforce it here.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         bucketed = self.with_bucket(df)
         pending = self.pending_buckets(spark)
         if not pending:

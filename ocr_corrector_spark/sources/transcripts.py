@@ -71,6 +71,20 @@ _HTML_SUFFIX = (
     "</body></html>"
 )
 
+# %LAYOUT documents (functions/layout_extract.py serialization): body box
+# carries the turn text; the running header repeats on both pages and the
+# footers are page numbers, so layout extraction recovers the body exactly.
+_LAYOUT_PREFIX = (
+    "%LAYOUT v1\n"
+    "P0 36 20 559 34 机密文件 信贷报告\n"
+    "P0 36 60 559 600 "
+)
+_LAYOUT_SUFFIX = (
+    "\nP0 250 810 345 822 第 1 页\n"
+    "P1 36 20 559 34 机密文件 信贷报告\n"
+    "P1 250 810 345 822 第 2 页"
+)
+
 
 def corpus_df(spark: SparkSession) -> DataFrame:
     rows = [
@@ -174,12 +188,25 @@ def gen_transcripts(
         == 0
     )
     df = df.withColumn("is_html", is_html)
+    is_layout = (
+        F.pmod(
+            F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(11), F.lit(seed)),
+            F.lit(7),
+        )
+        == 0
+    ) & ~F.col("is_html")
+    df = df.withColumn("is_layout", is_layout)
     df = df.withColumn(
         "text",
         F.when(
             F.col("is_html"),
             F.concat(F.lit(_HTML_PREFIX), F.col("text_noisy"), F.lit(_HTML_SUFFIX)),
-        ).otherwise(F.col("text_noisy")),
+        )
+        .when(
+            F.col("is_layout"),
+            F.concat(F.lit(_LAYOUT_PREFIX), F.col("text_noisy"), F.lit(_LAYOUT_SUFFIX)),
+        )
+        .otherwise(F.col("text_noisy")),
     )
 
     df = (
@@ -201,5 +228,5 @@ def gen_transcripts(
 
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "probs"]
     if keep_oracle_cols:
-        cols += ["text_clean", "text_noisy", "err_expected", "is_html"]
+        cols += ["text_clean", "text_noisy", "err_expected", "is_html", "is_layout"]
     return df.select(*cols)
