@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q.q_fingerprint,
         "ivf_assign": q.q_ivf_assign,
         "ivf_list_sizes": q.q_ivf_list_sizes,
+        "html_strip": q.q_html_strip,
+        "layout_strip": q.q_layout_strip,
     }
 
 
@@ -326,5 +328,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT centroid_id, count(*) AS n_vecs FROM ranked WHERE rk = 1
             GROUP BY centroid_id
+        """,
+        "html_strip": """
+            SELECT doc_id, text AS text_main FROM documents
+        """,
+        "layout_strip": """
+            SELECT doc_id, text AS text_main FROM documents
         """,
     }

@@ -493,3 +493,37 @@ def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+# --- extraction-stage analogs (S5/driver-mandated extraction) --------------------------
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content HTML extraction exercised through the REAL kernel: each
+    document is wrapped in the generator's boilerplate template (nav,
+    styled head, link-dense footer), then the DOM text/link-density
+    extractor must recover the body byte-for-byte — so the DuckDB oracle
+    is simply the identity on ``text``."""
+    from ..operators.extract import with_extraction
+    from ..sources.transcripts import _HTML_PREFIX, _HTML_SUFFIX
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit(_HTML_SUFFIX)).alias("text"),
+    )
+    return with_extraction(docs, out_col="text_main").select("doc_id", "text_main")
+
+
+def q_layout_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF/layout extraction through the real XY-cut kernel: documents are
+    wrapped in the %LAYOUT template (repeated running header, page-number
+    footers, body box), and reading-order extraction with decoration
+    stripping must recover the body exactly (oracle = identity)."""
+    from ..operators.extract import with_extraction
+    from ..sources.transcripts import _LAYOUT_PREFIX, _LAYOUT_SUFFIX
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_LAYOUT_PREFIX), F.col("text"), F.lit(_LAYOUT_SUFFIX)
+        ).alias("text"),
+    )
+    return with_extraction(docs, out_col="text_main").select("doc_id", "text_main")
