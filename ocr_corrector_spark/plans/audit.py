@@ -31,6 +31,17 @@ AUDIT_SCHEMA_COLS = (
 )
 
 
+def _eligible_expr(df: DataFrame):
+    # pipeline exports eligibility as corr_mode (0 pass / 1 keyword /
+    # 2 bert) when called with keep_mode_col=True; a boolean `eligible`
+    # column is accepted for hand-built frames
+    if "corr_mode" in df.columns:
+        return F.sum((F.col("corr_mode") != 0).cast("long")).alias("n_eligible")
+    if "eligible" in df.columns:
+        return F.sum(F.col("eligible").cast("long")).alias("n_eligible")
+    return F.lit(None).cast("long").alias("n_eligible")
+
+
 def partition_lineage(df: DataFrame, run_id: str) -> DataFrame:
     """One audit row per physical partition of the corrected DataFrame."""
     return (
@@ -41,9 +52,7 @@ def partition_lineage(df: DataFrame, run_id: str) -> DataFrame:
             F.sum(
                 (F.col("text") != F.col("text_corrected")).cast("long")
             ).alias("n_corrected"),
-            F.sum(F.col("eligible").cast("long")).alias("n_eligible")
-            if "eligible" in df.columns
-            else F.lit(None).cast("long").alias("n_eligible"),
+            _eligible_expr(df),
             F.min("conv_id").alias("min_conv_id"),
             F.max("conv_id").alias("max_conv_id"),
             F.min("ts").alias("min_ts"),

@@ -41,6 +41,7 @@ def correct_pipeline(
     prob_threshold: float = 0.9,
     keyword_similarity_threshold: float = 0.55,
     order_output: bool = True,
+    keep_mode_col: bool = False,
 ) -> DataFrame:
     """Adds ``text_corrected`` (+ ``text`` rewritten by extraction)."""
     if order_output:
@@ -64,6 +65,8 @@ def correct_pipeline(
         similarity_threshold=keyword_similarity_threshold,
         spark=spark,
     )
+    if keep_mode_col:
+        return out.drop("err_pos")
     return out.drop("err_pos", "corr_mode")
 
 

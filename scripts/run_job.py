@@ -62,7 +62,7 @@ def main() -> None:
     )
 
     def transform(d):
-        out = correct_pipeline(d, spark)
+        out = correct_pipeline(d, spark, keep_mode_col=True)
         write_audit(out, args.run_id, args.audit)
         return out
 
