@@ -104,8 +104,11 @@ def main() -> None:
     ):
         fn = getattr(sqlops, f"q_{name}")
         fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()  # warm (IO + codegen)
+        # 5 reps (vs 3 for the expensive flagship): these queries run ~1s
+        # each, and the sandbox's sporadic multi-second stalls otherwise
+        # poison even a min-of-3 too often
         q_reps = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
             q_reps.append(time.perf_counter() - t0)
