@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_list_sizes": q.q_ivf_list_sizes,
         "html_strip": q.q_html_strip,
         "layout_strip": q.q_layout_strip,
+        "minhash_neardup_pairs": q.q_minhash_neardup_pairs,
     }
 
 
@@ -334,5 +335,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "layout_strip": """
             SELECT doc_id, text AS text_main FROM documents
+        """,
+        "minhash_neardup_pairs": f"""
+            WITH g AS (
+                SELECT doc_id, {ngrams} AS grams FROM documents
+            ), sigs AS (
+                SELECT doc_id, {minhash_sig}
+                FROM g WHERE len(grams) > 0
+            ), keyed AS (
+                SELECT s.doc_id,
+                       mh_s1 || '|' || mh_s2 || '|' || mh_s3 || '|' || mh_s4 AS band_key,
+                       g.grams
+                FROM sigs s JOIN g USING (doc_id)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.grams, b.grams)) AS inter,
+                       len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)) AS uni
+                FROM keyed a JOIN keyed b
+                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(inter::DOUBLE / uni, 4) AS jaccard
+            FROM pairs
+            WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.30
         """,
     }

@@ -527,3 +527,44 @@ def q_layout_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return with_extraction(docs, out_col="text_main").select("doc_id", "text_main")
+
+
+def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full LSH dedup path: minhash band buckets propose candidate pairs
+    (equi-join on band_key — a shuffle on a short hash key), exact n-gram
+    Jaccard verifies only those candidates.  This is the two-stage shape
+    that replaces q_ngram_jaccard's O(n²) cross join at scale: the
+    all-pairs work never happens, and skewed bucket sizes are bounded by
+    the banding scheme (full 4-hash signature ⇒ only near-identical docs
+    share a bucket)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", _word_ngrams(F.split("text", " ")).alias("grams"))
+        .filter(F.size("grams") > 0)
+    )
+    sigs = (
+        docs.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(s), F.col("g")))).alias(f"mh_{s}")
+                for s in MINHASH_SEEDS
+            ]
+        )
+    )
+    band = F.concat_ws("|", *[F.col(f"mh_{s}") for s in MINHASH_SEEDS])
+    keyed = sigs.select("doc_id", band.alias("band_key")).join(docs, "doc_id")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.30)
