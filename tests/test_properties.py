@@ -82,3 +82,47 @@ def test_myers_equals_dp(a, b):
     from ocr_corrector_spark.functions.editdist import _py_levenshtein
 
     assert edit_distance(a, b) == _py_levenshtein(a, b)
+
+
+# --- layout-extraction invariants (functions/layout_extract.py) -------------------
+
+_box_st = st.tuples(
+    st.integers(0, 1),                      # page
+    st.integers(0, 50),                     # x0 slot
+    st.integers(0, 50),                     # y0 slot
+    st.sampled_from(["正文", "内容", "text", "数据块"]),
+)
+
+
+@given(st.lists(_box_st, min_size=1, max_size=12, unique_by=lambda b: (b[0], b[1], b[2])))
+@settings(max_examples=150, deadline=None)
+def test_xycut_emits_every_box_exactly_once(boxes):
+    from ocr_corrector_spark.functions.layout_extract import Box, _xycut
+
+    built = [
+        Box(p, x * 12.0, y * 12.0, x * 12.0 + 10.0, y * 12.0 + 10.0, f"{t}#{i}")
+        for i, (p, x, y, t) in enumerate(boxes)
+    ]
+    out = _xycut(built)
+    # reading order is a PERMUTATION: nothing lost, nothing duplicated
+    assert sorted(b.text for b in out) == sorted(b.text for b in built)
+
+
+@given(st.lists(_box_st, min_size=1, max_size=10, unique_by=lambda b: (b[0], b[1], b[2])))
+@settings(max_examples=100, deadline=None)
+def test_layout_roundtrip_preserves_all_text(boxes):
+    from ocr_corrector_spark.functions.layout_extract import (
+        Box,
+        extract_layout_content,
+    )
+
+    # mid-page boxes only (outside the decoration bands) and unique texts
+    doc_lines = ["%LAYOUT v1"]
+    texts = []
+    for i, (p, x, y, t) in enumerate(boxes):
+        text = f"{t}#{i}"
+        texts.append(text)
+        y0 = 200.0 + y * 6.0
+        doc_lines.append(f"P{p} {x * 12.0} {y0} {x * 12.0 + 10.0} {y0 + 5.0} {text}")
+    out = extract_layout_content("\n".join(doc_lines))
+    assert sorted(out.split("\n")) == sorted(texts)
