@@ -73,6 +73,30 @@ def partition_lineage(df: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def biz_rollup(df: DataFrame, run_id: str) -> DataFrame:
+    """Correction metrics per biz/corrector route (`tool` column) — the
+    reference's log-only counters (base_corrector.py:58,71) per registry
+    entry."""
+    return (
+        df.groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("text") != F.col("text_corrected")).cast("long")
+            ).alias("n_corrected"),
+            _eligible_expr(df),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "tool",
+            "n_rows",
+            "n_corrected",
+            "n_eligible",
+            F.lit(int(time.time())).alias("created_at"),
+        )
+    )
+
+
 def write_audit(df: DataFrame, run_id: str, audit_path: str) -> None:
     lineage = partition_lineage(df, run_id)
     (
@@ -80,6 +104,13 @@ def write_audit(df: DataFrame, run_id: str, audit_path: str) -> None:
         .write.mode("append")
         .partitionBy("run_id")
         .parquet(audit_path)
+    )
+    (
+        biz_rollup(df, run_id)
+        .repartition(1)
+        .write.mode("append")
+        .partitionBy("run_id")
+        .parquet(audit_path.rstrip("/") + "_biz")
     )
 
 
