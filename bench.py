@@ -53,9 +53,15 @@ def main() -> None:
     # partition count tracked cores, the small config would run few fat
     # partitions with terrible straggler sensitivity and the ratio would
     # measure load balance, not the engine.
+    # SPARK_GRAFT_FLAGSHIP_REPS/SEED_BASE let the scaling driver run short
+    # interleaved N/4N rounds (same seed both configs per round) — this
+    # sandbox's background contention varies on a minutes timescale, so
+    # two long sequential phases would measure the machine, not scaling.
+    n_reps = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPS", "3"))
+    seed_base = int(os.environ.get("SPARK_GRAFT_SEED_BASE", "1"))
     frames = [
         gen_transcripts(spark, n_convs=n_convs, seed=s).repartition(128).persist()
-        for s in (1, 2, 3)
+        for s in range(seed_base, seed_base + n_reps)
     ]
     n_turns = frames[0].count()  # materialize outside the timed region
     for fr in frames[1:]:
@@ -93,7 +99,7 @@ def main() -> None:
         fr.unpersist()
 
     # --- SQL-analog operators (steady state: warm once, median of 3) ------
-    for name in (
+    query_names = () if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") else (
         "minhash_buckets",
         "ngram_jaccard",
         "cosine_topk",
@@ -101,7 +107,8 @@ def main() -> None:
         "pricing_summary",
         "text_quality",
         "keyword_fuzzy_join",
-    ):
+    )
+    for name in query_names:
         fn = getattr(sqlops, f"q_{name}")
         fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()  # warm (IO + codegen)
         # 5 reps (vs 3 for the expensive flagship): these queries run ~1s

@@ -103,6 +103,7 @@ def gen_transcripts(
     heavy_every: int = 97,
     heavy_turns: int = 200,
     html_fraction_denom: int = 5,
+    layout_fraction_denom: int = 7,
     keep_oracle_cols: bool = False,
     seed: int = 0,
 ) -> DataFrame:
@@ -188,13 +189,16 @@ def gen_transcripts(
         == 0
     )
     df = df.withColumn("is_html", is_html)
-    is_layout = (
-        F.pmod(
-            F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(11), F.lit(seed)),
-            F.lit(7),
-        )
-        == 0
-    ) & ~F.col("is_html")
+    if layout_fraction_denom:
+        is_layout = (
+            F.pmod(
+                F.xxhash64(F.col("conv_id"), F.col("turn_idx"), F.lit(11), F.lit(seed)),
+                F.lit(layout_fraction_denom),
+            )
+            == 0
+        ) & ~F.col("is_html")
+    else:
+        is_layout = F.lit(False)
     df = df.withColumn("is_layout", is_layout)
     df = df.withColumn(
         "text",
