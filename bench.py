@@ -137,6 +137,38 @@ def main() -> None:
     for fr in frames:
         fr.unpersist()
 
+    # fused single-Arrow-pass variant (operators/fused.py) — fresh seeds so
+    # the staged reps' row memo can't serve it.  Skipped in scaling rounds
+    # (SKIP_QUERIES): the scaling ratio only needs the staged flagship.
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec)
+        spark.stop()
+        return
+
+    from ocr_corrector_spark.operators.fused import fused_correct
+
+    fused_frames = [
+        (
+            spark.read.parquet(os.path.join(input_dir, f"seed{s}"))
+            if input_dir and os.path.isdir(os.path.join(input_dir, f"seed{s}"))
+            else gen_transcripts(spark, n_convs=n_convs, seed=s + 50).repartition(128)
+        ).persist()
+        for s in range(seed_base + 10, seed_base + 10 + n_reps)
+    ]
+    for fr in fused_frames:
+        fr.count()
+    fused_reps = []
+    for fr in fused_frames:
+        t0 = time.perf_counter()
+        fused_correct(fr, spark).agg(
+            F.sum(F.length("text_corrected")), F.count(F.lit(1))
+        ).collect()
+        fused_reps.append(time.perf_counter() - t0)
+    fused_sec = min(fused_reps)
+    timings["flagship_fused"] = round(fused_sec, 3)
+    for fr in fused_frames:
+        fr.unpersist()
+
     # --- SQL-analog operators (steady state: warm once, median of 3) ------
     query_names = () if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") else (
         "minhash_buckets",
@@ -160,24 +192,26 @@ def main() -> None:
             q_reps.append(time.perf_counter() - t0)
         timings[name] = round(min(q_reps), 3)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline suite wall time (flagship correction + operator analogs)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "n_turns": n_turns,
-                "flagship_reps": flagship_reps,
-                "hw_capacity_probes": caps,
-                "corrected_turns_per_sec": round(n_turns / correct_sec, 1),
-            }
-        )
-    )
+    _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec)
     spark.stop()
+
+
+def _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec):
+    out = {
+        "metric": "headline suite wall time (flagship correction + operator analogs)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "flagship_reps": flagship_reps,
+        "hw_capacity_probes": caps,
+        "corrected_turns_per_sec": round(n_turns / correct_sec, 1),
+    }
+    if "flagship_fused" in timings:
+        out["fused_turns_per_sec"] = round(n_turns / timings["flagship_fused"], 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,124 @@
+"""Fused single-Arrow-pass pipeline variant.
+
+The staged plan (plans/pipeline.py) crosses the JVM↔Python boundary
+twice: once for extraction, once for correction, with detection as native
+Catalyst expressions in between — the layout that maximizes pushdown and
+lets the optimizer see the filters.  At 10^12-turn scale the two Arrow
+round-trips of the full text column are themselves a cost; this fused
+operator runs extraction → detection → dispatch → correction in ONE
+``mapInPandas`` stage (one Arrow crossing, batch-columnar inside), at the
+price of detection happening in Python where Catalyst cannot see it.
+
+Semantics are identical to the staged plan by construction: both call the
+same kernels (functions/correct_kernels.py, operators/extract.extract_any,
+functions/rules) — tests/test_fused.py asserts per-turn equality between
+the two plans.  Pick per workload: scan-heavy with selective pre-filters →
+staged; UDF-dominated with near-total eligibility → fused.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..assets import KEYWORDS
+from ..assets.scorer_table import SCORER_TABLE, topn_candidates
+from ..functions.rules import (
+    do_correct_filter_bert,
+    do_correct_filter_keyword,
+    find_err_pos_by_prob,
+)
+from .correct import _get_char_sim, _get_kw_kernel, _get_row_cache
+from .extract import extract_any
+
+
+def fused_correct(
+    df: DataFrame,
+    spark: SparkSession | None = None,
+    biz_col: str = "tool",
+    text_col: str = "text",
+    out_col: str = "text_corrected",
+    prob_threshold: float = 0.9,
+    similarity_threshold: float = 0.55,
+    topn: int = 3,
+    keywords=KEYWORDS,
+) -> DataFrame:
+    """Adds ``out_col`` (and rewrites ``text_col`` with extracted text) in
+    a single mapInPandas stage."""
+    spark = spark or SparkSession.getActiveSession()
+    bc_words = spark.sparkContext.broadcast(tuple(keywords))
+    bc_scorer = spark.sparkContext.broadcast(dict(SCORER_TABLE))
+    cache_key = (similarity_threshold, topn, hash(tuple(keywords)))
+
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, StringType())]
+    )
+    col_order = [f.name for f in out_schema.fields]
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.correct_kernels import (
+            bert_correct_one,
+            keyword_correct_one,
+        )
+
+        char_sim = _get_char_sim()
+        tree, kwset = _get_kw_kernel(bc_words.value)
+        table = bc_scorer.value
+        cache = _get_row_cache(cache_key)
+
+        def scorer(ch):
+            cands = table.get(ch)
+            if cands is None:
+                return topn_candidates(ch, topn)
+            return cands
+
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            probs = pdf["probs"].tolist()
+            bizes = pdf[biz_col].tolist()
+            extracted, corrected = [], []
+            for text, prob, biz in zip(texts, probs, bizes):
+                text = extract_any(text)
+                extracted.append(text)
+                if text is None:
+                    corrected.append(text)
+                    continue
+                is_report = biz == "report"
+                eligible = (
+                    do_correct_filter_keyword(text)
+                    if is_report
+                    else do_correct_filter_bert(text)
+                )
+                if not eligible:
+                    corrected.append(text)
+                    continue
+                if prob is None:
+                    err = list(range(len(text)))
+                else:
+                    err = find_err_pos_by_prob(list(prob), prob_threshold)
+                if not err:
+                    corrected.append(text)
+                    continue
+                mode = 1 if is_report else 2
+                key = (mode, text, tuple(err))
+                hit = cache.get(key)
+                if hit is None:
+                    if is_report:
+                        hit = keyword_correct_one(
+                            text, err, tree, kwset, char_sim, similarity_threshold
+                        )
+                    else:
+                        hit = bert_correct_one(text, err, char_sim, scorer, topn)
+                    if len(cache) >= 200_000:
+                        cache.pop(next(iter(cache)))
+                    cache[key] = hit
+                corrected.append(hit)
+            pdf = pdf.copy()
+            pdf[text_col] = extracted
+            pdf[out_col] = corrected
+            yield pdf[col_order]
+
+    return df.mapInPandas(process, out_schema)
