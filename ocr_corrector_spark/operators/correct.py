@@ -106,7 +106,8 @@ def with_dispatched_correction(
 
         cache = _get_row_cache(cache_key)
         out = []
-        for t, e, m in zip(text, err_pos, mode):
+        # list iteration beats Series iteration (no per-element numpy boxing)
+        for t, e, m in zip(text.tolist(), err_pos.tolist(), mode.tolist()):
             if m not in (1, 2) or t is None:
                 out.append(t)
                 continue
