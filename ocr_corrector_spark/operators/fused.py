@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -56,9 +56,11 @@ def fused_correct(
     out_schema = StructType(
         [f for f in df.schema.fields] + [StructField(out_col, StringType())]
     )
-    col_order = [f.name for f in out_schema.fields]
 
-    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow, not mapInPandas: the kernels want plain Python strings
+    # anyway, and Arrow-native batches skip the pandas ns-timestamp
+    # conversion (which overflows on dates past 2262) plus a copy each way.
+    def process(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..functions.correct_kernels import (
             bert_correct_one,
             keyword_correct_one,
@@ -75,10 +77,10 @@ def fused_correct(
                 return topn_candidates(ch, topn)
             return cands
 
-        for pdf in batches:
-            texts = pdf[text_col].tolist()
-            probs = pdf["probs"].tolist()
-            bizes = pdf[biz_col].tolist()
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            probs = batch.column("probs").to_pylist()
+            bizes = batch.column(biz_col).to_pylist()
             extracted, corrected = [], []
             for text, prob, biz in zip(texts, probs, bizes):
                 text = extract_any(text)
@@ -116,9 +118,15 @@ def fused_correct(
                         cache.pop(next(iter(cache)))
                     cache[key] = hit
                 corrected.append(hit)
-            pdf = pdf.copy()
-            pdf[text_col] = extracted
-            pdf[out_col] = corrected
-            yield pdf[col_order]
+            arrays, names = [], []
+            for i, field in enumerate(batch.schema):
+                names.append(field.name)
+                if field.name == text_col:
+                    arrays.append(pa.array(extracted, type=pa.string()))
+                else:
+                    arrays.append(batch.column(i))
+            names.append(out_col)
+            arrays.append(pa.array(corrected, type=pa.string()))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return df.mapInPandas(process, out_schema)
+    return df.mapInArrow(process, out_schema)

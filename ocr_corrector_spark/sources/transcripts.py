@@ -223,9 +223,14 @@ def gen_transcripts(
         )
         .withColumn("tool", F.col("biz"))
         .withColumn(
+            # one conv per day, wrapping within a year: unbounded _cid*86400
+            # at bench scale (millions of convs) would run past pandas'
+            # ns-timestamp ceiling (year 2262)
             "ts",
             F.timestamp_seconds(
-                F.lit(1767225600) + F.col("_cid") * 86400 + F.col("turn_idx")
+                F.lit(1767225600)
+                + F.pmod(F.col("_cid"), F.lit(365)) * 86400
+                + F.col("turn_idx")
             ),
         )
     )

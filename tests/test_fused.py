@@ -30,6 +30,9 @@ def _edge_rows(spark):
             ("edge", 3, "user", "%PDF-1.4 junk", "doc", t, [0.5]),
             # malformed layout passthrough
             ("edge", 4, "user", "%LAYOUT v1\nP0 bad", "report", t, [0.5]),
+            # far-future ts (past pandas ns ceiling) — mapInArrow must not
+            # overflow where mapInPandas did
+            ("edge", 5, "user", "宋还本全", "report", dt.datetime(2600, 1, 1), None),
         ],
         schema,
     )
