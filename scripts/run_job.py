@@ -38,10 +38,19 @@ def main() -> None:
     ap.add_argument("--run-id", default="run-1")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--n-convs", type=int, default=10000, help="synthetic scale if no --input")
+    ap.add_argument(
+        "--plan",
+        choices=("staged", "fused"),
+        default="staged",
+        help="staged = Catalyst-visible pre-filters, two Arrow stages; "
+        "fused = one MapInArrow crossing (faster when UDF-dominated)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
+    from ocr_corrector_spark.operators.fused import fused_correct
+    from ocr_corrector_spark.operators.reassemble import order_turns
     from ocr_corrector_spark.plans.audit import write_audit
     from ocr_corrector_spark.plans.checkpoint import CheckpointedRun
     from ocr_corrector_spark.plans.pipeline import correct_pipeline
@@ -62,7 +71,10 @@ def main() -> None:
     )
 
     def transform(d):
-        out = correct_pipeline(d, spark, keep_mode_col=True)
+        if args.plan == "fused":
+            out = order_turns(fused_correct(d, spark))
+        else:
+            out = correct_pipeline(d, spark, keep_mode_col=True)
         write_audit(out, args.run_id, args.audit)
         return out
 
