@@ -57,3 +57,49 @@ def char_occurrences(corpus: DataFrame, text_col: str = "text") -> DataFrame:
         F.explode(F.split(F.col(text_col), "")).alias("correct_char")
     ).filter(F.length("correct_char") > 0)
     return chars.groupBy("correct_char").agg(F.count(F.lit(1)).alias("n_occ"))
+
+
+def confusion_pairs_from_parallel(
+    df: DataFrame, noisy_col: str = "text_noisy", clean_col: str = "text_clean"
+) -> DataFrame:
+    """Extract (wrong_char, correct_char) observations from parallel
+    noisy/clean text — the engine-side analog of the reference's
+    training-data diffing (create_data.py:79-160's input pairs), done
+    entirely with native array expressions: zip the char streams, keep
+    positions where they differ.  Length-mismatched rows are skipped
+    (substitution-only confusion model, same as the reference)."""
+    same_len = F.length(noisy_col) == F.length(clean_col)
+    zipped = F.arrays_zip(
+        F.split(F.col(noisy_col), ""), F.split(F.col(clean_col), "")
+    )
+    diffs = F.filter(
+        zipped, lambda z: (z["0"] != z["1"]) & (F.length(z["0"]) > 0)
+    )
+    return (
+        df.filter(same_len)
+        .select(F.explode(diffs).alias("d"))
+        .select(
+            F.col("d.0").alias("wrong_char"), F.col("d.1").alias("correct_char")
+        )
+    )
+
+
+def scorer_table_from_stats(
+    pair_counts: DataFrame, topn: int = 3
+) -> DataFrame:
+    """Build the deterministic scorer table (M4) from confusion statistics:
+    per observed char, its top-n correction candidates with pseudo-
+    probabilities proportional to observation counts — the offline job
+    whose output broadcast-feeds the correction UDF's scorer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("wrong_char").orderBy(
+        F.desc("n"), F.asc("correct_char")
+    )
+    total = Window.partitionBy("wrong_char")
+    return (
+        pair_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topn)
+        .withColumn("prob", F.round(F.col("n") / F.sum("n").over(total), 6))
+        .select("wrong_char", "correct_char", "prob", "rk")
+    )

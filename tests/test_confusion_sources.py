@@ -68,3 +68,31 @@ def test_parse_ali_result(spark):
     assert rows[0].text == "未还本金"
     assert rows[0].probs == [0.99, 0.56, 0.99, 0.99]
     assert rows[1].line_idx == 1
+
+
+def test_confusion_pairs_from_parallel(spark):
+    from ocr_corrector_spark.operators.confusion import (
+        confusion_pair_counts,
+        confusion_pairs_from_parallel,
+        scorer_table_from_stats,
+    )
+    from ocr_corrector_spark.sources.transcripts import gen_transcripts
+
+    df = gen_transcripts(spark, n_convs=200, keep_oracle_cols=True)
+    pairs = confusion_pairs_from_parallel(df)
+    counts = {
+        (r.wrong_char, r.correct_char): r.n
+        for r in confusion_pair_counts(pairs).collect()
+    }
+    # the generator's designed swaps must dominate the statistics
+    assert counts[("大", "天")] > 0
+    assert counts[("白", "自")] > 0
+    assert counts[("宋", "未")] > 0
+    # no identity pairs ever
+    assert all(w != c for (w, c) in counts)
+
+    table = scorer_table_from_stats(confusion_pair_counts(pairs))
+    rows = {r.wrong_char: r for r in table.filter("rk = 1").collect()}
+    # 宋's top correction is 未 with probability mass near 1
+    assert rows["宋"].correct_char == "未"
+    assert rows["宋"].prob >= 0.5
