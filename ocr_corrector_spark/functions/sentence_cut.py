@@ -15,6 +15,8 @@ a corpus table (operators: one input line → n sentence rows).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pyspark can resolve the UDF type hints
+
 _TERMINALS = set("。；？！")
 _COMMAS = set("，,")
 _QUOTES = {"“": 1, "”": -1}
@@ -53,12 +55,16 @@ def cut_sentences(line: str, comma_min: int = 20, min_len: int = 5) -> list[str]
 
 def cut_corpus_df(df, text_col: str = "text", out_col: str = "sentence"):
     """Spark flatMap form: one row per cut sentence, with the source row's
-    position retained."""
-    import pandas as pd  # noqa: F401
+    position retained.  Arrow-batched pandas UDF (one Python transfer per
+    batch) — the repo bans per-row ``F.udf`` everywhere (SURVEY.md §4,
+    enforced by tests/test_no_row_udf.py)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, StringType
 
-    cut_udf = F.udf(lambda t: cut_sentences(t) if t else [], ArrayType(StringType()))
+    @F.pandas_udf(ArrayType(StringType()))
+    def cut_udf(t: pd.Series) -> pd.Series:
+        return t.map(lambda x: cut_sentences(x) if x else [])
+
     return df.select(
         "*", F.posexplode(cut_udf(F.col(text_col))).alias("sentence_idx", out_col)
     )

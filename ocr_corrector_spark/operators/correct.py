@@ -57,7 +57,10 @@ def _get_char_sim() -> CharSim:
 
 
 def _get_kw_kernel(words: tuple):
-    key = id(words)
+    # Content-keyed (cheap: ~100 short strings): id(words) would be fragile
+    # if a broadcast value is garbage-collected and its id reused by a
+    # different word list in the same worker.
+    key = hash(words)
     hit = _KW_CACHE.get(key)
     if hit is None:
         tree = BKTree(words)
@@ -75,6 +78,7 @@ def with_dispatched_correction(
     text_col: str = "text",
     mode_col: str = "corr_mode",
     out_col: str = "text_corrected",
+    row_counter=None,
 ) -> DataFrame:
     """Single-pass correction with per-row corrector dispatch.
 
@@ -82,6 +86,10 @@ def with_dispatched_correction(
     Spark analog of the reference's biz_type registry
     (corrector/__init__.py:20-38) without per-row Python objects and with
     ONE Arrow transfer for the whole table (vs one per corrector).
+
+    ``row_counter``: optional Spark accumulator; when set, the UDF adds the
+    batch size per invocation — tests use it to assert the expensive stage
+    executes exactly once per row per job (no recompute from extra actions).
     """
     spark = spark or SparkSession.getActiveSession()
     bc_words = spark.sparkContext.broadcast(tuple(keywords))
@@ -94,6 +102,8 @@ def with_dispatched_correction(
 
     @F.pandas_udf(StringType())
     def correct_udf(text: pd.Series, err_pos: pd.Series, mode: pd.Series) -> pd.Series:
+        if row_counter is not None:
+            row_counter.add(len(text))
         char_sim = _get_char_sim()
         tree, kwset = _get_kw_kernel(bc_words.value)
         table = bc_scorer.value

@@ -42,10 +42,14 @@ def extract_any(text: str) -> str:
     if text.startswith(LAYOUT_MAGIC):
         return extract_layout_content(text)
     if text.startswith(PDF_MAGIC):
+        # Per-row isolation contract (keyword_corrector.py:102-106): a bad
+        # PDF row passes through, it never fails the task.  The encode is
+        # inside the guard — binary PDF bytes read as UTF-8 text carry
+        # U+FFFD replacement chars (or CJK) that latin-1 cannot encode.
         try:
             return extract_layout_content(decode_pdf_bytes(text.encode("latin-1")))
-        except NotImplementedError:
-            return text  # decode stub: pass through, never fail the task
+        except Exception:
+            return text  # decode stub / undecodable bytes: pass through
     return extract_main_content(text)
 
 

@@ -6,8 +6,10 @@ Catalyst expressions in between — the layout that maximizes pushdown and
 lets the optimizer see the filters.  At 10^12-turn scale the two Arrow
 round-trips of the full text column are themselves a cost; this fused
 operator runs extraction → detection → dispatch → correction in ONE
-``mapInPandas`` stage (one Arrow crossing, batch-columnar inside), at the
-price of detection happening in Python where Catalyst cannot see it.
+``mapInArrow`` stage (one Arrow crossing, batch-columnar inside, no
+pandas materialization — also dodges the pandas ns-timestamp overflow for
+far-future ts values), at the price of detection happening in Python
+where Catalyst cannot see it.
 
 Semantics are identical to the staged plan by construction: both call the
 same kernels (functions/correct_kernels.py, operators/extract.extract_any,

@@ -60,10 +60,18 @@ class CheckpointedRun:
         transform,
         wave_size: int | None = None,
         max_waves: int | None = None,
+        post_write=None,
     ) -> int:
         """Process pending buckets in waves; returns #buckets completed this
         call.  ``transform(df) -> df`` is the correction pipeline.
-        ``max_waves`` lets tests simulate a mid-run crash."""
+        ``max_waves`` lets tests simulate a mid-run crash.
+
+        ``post_write(out_df)`` — optional per-wave hook (audit writes).  The
+        wave's corrected frame is persisted across the output write and the
+        hook, so the expensive correction UDF executes ONCE per wave: the
+        write materializes the cache, the hook's actions read it.  (Calling
+        audit writes inside ``transform`` instead would re-execute the full
+        pipeline once per extra action — a 3x compute bill at scale.)"""
         # Idempotence depends on DYNAMIC partition overwrite: with the
         # default static mode every wave's write would wipe the buckets
         # committed by earlier waves.  The session a cluster submit hands
@@ -83,11 +91,19 @@ class CheckpointedRun:
         for wave in waves:
             subset = bucketed.filter(F.col("bucket").isin([int(b) for b in wave]))
             out = transform(subset)
-            (
-                out.write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(self.output_path)
-            )
+            if post_write is not None:
+                out = out.persist()
+            try:
+                (
+                    out.write.mode("overwrite")
+                    .partitionBy("bucket")
+                    .parquet(self.output_path)
+                )
+                if post_write is not None:
+                    post_write(out)
+            finally:
+                if post_write is not None:
+                    out.unpersist()
             self._commit(spark, wave)
             completed += len(wave)
         return completed

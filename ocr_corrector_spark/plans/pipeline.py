@@ -42,6 +42,7 @@ def correct_pipeline(
     keyword_similarity_threshold: float = 0.55,
     order_output: bool = True,
     keep_mode_col: bool = False,
+    row_counter=None,
 ) -> DataFrame:
     """Adds ``text_corrected`` (+ ``text`` rewritten by extraction)."""
     if order_output:
@@ -64,6 +65,7 @@ def correct_pipeline(
         df,
         similarity_threshold=keyword_similarity_threshold,
         spark=spark,
+        row_counter=row_counter,
     )
     if keep_mode_col:
         return out.drop("err_pos")

@@ -54,7 +54,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _assemble_fn(gap_ms: int, text_col: str):
+def _assemble_fn(gap_ms: int, text_col: str, session_tz: str = "UTC"):
     def assemble(
         key: Tuple[str],
         pdfs: Iterator[pd.DataFrame],
@@ -81,7 +81,18 @@ def _assemble_fn(gap_ms: int, text_col: str):
             turn_idxs, texts, max_ts_ms = [], [], 0
         by_idx = dict(zip(turn_idxs, texts))
         for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            # applyInPandasWithState delivers tz-naive timestamps rendered
+            # in spark.sql.session.timeZone, but setTimeoutTimestamp expects
+            # UTC epoch ms — localize naive stamps to the session tz
+            # (captured on the driver) and convert to UTC before the int64
+            # cast, or the session-gap timeout skews by the tz offset.
+            ts = pdf["ts"]
+            if ts.dt.tz is None:
+                ts = ts.dt.tz_localize(
+                    session_tz, ambiguous="NaT", nonexistent="shift_forward"
+                )
+            ts = ts.dt.tz_convert("UTC")
+            ts_ms = (ts.astype("int64") // 1_000_000).tolist()
             for idx, text, t in zip(pdf["turn_idx"], pdf[text_col], ts_ms):
                 by_idx[int(idx)] = text  # latest wins on redelivery
                 if t > max_ts_ms:
@@ -117,11 +128,17 @@ def assemble_conversations(
         "hours": 3_600_000,
     }[unit]
     gap_ms = int(n) * unit_ms
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    session_tz = (
+        active.conf.get("spark.sql.session.timeZone", "UTC") if active else "UTC"
+    )
     return (
         df.withWatermark("ts", watermark_delay)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _assemble_fn(gap_ms, text_col),
+            _assemble_fn(gap_ms, text_col, session_tz),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

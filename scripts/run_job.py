@@ -72,13 +72,23 @@ def main() -> None:
 
     def transform(d):
         if args.plan == "fused":
-            out = order_turns(fused_correct(d, spark))
-        else:
-            out = correct_pipeline(d, spark, keep_mode_col=True)
-        write_audit(out, args.run_id, args.audit)
-        return out
+            # Order FIRST: repartitionByRange samples its child for range
+            # boundaries, so placing it after the fused UDF would execute
+            # the mapInArrow stage an extra time per action.  mapInArrow is
+            # narrow/order-preserving, so sorted input stays sorted —
+            # matching the staged plan's layout (plans/pipeline.py).
+            return fused_correct(order_turns(d), spark)
+        return correct_pipeline(d, spark, keep_mode_col=True)
 
-    done = run.run(spark, df, transform)
+    # Audit as a post-write hook: the wave's frame is persisted across the
+    # output write and both audit actions, so the correction UDF runs once
+    # per wave (not 3x).
+    done = run.run(
+        spark,
+        df,
+        transform,
+        post_write=lambda out: write_audit(out, args.run_id, args.audit),
+    )
     print(f"completed {done} buckets (run_id={args.run_id})")
     spark.stop()
 

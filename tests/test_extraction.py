@@ -59,3 +59,14 @@ def test_malformed_html_degrades_to_tag_strip():
     html = "<div><p>text &amp; more"  # unclosed — parser may or may not cope
     out = extract_main_content(html)
     assert "text" in out and "<" not in out
+
+
+def test_pdf_branch_isolates_undecodable_rows():
+    # A %PDF- prefixed row whose body carries CJK / U+FFFD chars (binary
+    # bytes read as UTF-8 text) must pass through unchanged — the latin-1
+    # encode inside the PDF branch must never escape the per-row isolation
+    # guard (ADVICE r01).
+    from ocr_corrector_spark.operators.extract import extract_any
+
+    for t in ("%PDF-1.4 宋体", "%PDF-1.7 ��stream", "%PDF-"):
+        assert extract_any(t) == t

@@ -97,3 +97,36 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
 
     # re-running a completed run is a no-op
     assert run.run(spark, df, transform) == 0
+
+
+def test_correction_executes_once_per_row_with_audit(spark, tmp_path):
+    """The audit hook must not re-execute the correction UDF: the wave's
+    frame is persisted across the output write and both audit actions
+    (VERDICT r01 'What's wrong' #1 — the 3x recompute bill)."""
+    df = gen_transcripts(spark, n_convs=20)
+    n_rows = df.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def transform(d):
+        return correct_pipeline(
+            d, spark, order_output=False, keep_mode_col=True, row_counter=acc
+        )
+
+    run = CheckpointedRun(
+        "acc1", str(tmp_path / "out_a"), str(tmp_path / "wm_a"), n_buckets=4
+    )
+    audit_path = str(tmp_path / "audit_a")
+    done = run.run(
+        spark,
+        df,
+        transform,
+        post_write=lambda out: write_audit(out, "acc1", audit_path),
+    )
+    assert done == 4
+    # output write + lineage action + biz-rollup action, but the UDF saw
+    # each row exactly once
+    assert acc.value == n_rows
+    audit = spark.read.parquet(audit_path)
+    assert audit.agg(F.sum("n_rows")).collect()[0][0] == n_rows
+    out_rows = spark.read.parquet(run.output_path).count()
+    assert out_rows == n_rows
