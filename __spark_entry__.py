@@ -58,10 +58,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_strip": q.q_html_strip,
         "layout_strip": q.q_layout_strip,
         "minhash_neardup_pairs": q.q_minhash_neardup_pairs,
+        "simhash_neardup_pairs": q.q_simhash_neardup_pairs,
+        "ann_probe_topk": q.q_ann_probe_topk,
+        "conversation_dedup": q.q_conversation_dedup,
     }
 
 
-def _simhash_sql() -> str:
+def _simhash_ctes() -> str:
     sums = ", ".join(
         f"sum(CASE WHEN (h & {1 << i}) > 0 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(32)
@@ -74,12 +77,38 @@ def _simhash_sql() -> str:
             WHERE length(u.w) > 0
         ), s AS (
             SELECT doc_id, {sums} FROM w GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, ({sig})::BIGINT AS simhash FROM s
+        )"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_ctes() + "\n        SELECT doc_id, simhash FROM sig"
+
+
+def _simhash_neardup_sql() -> str:
+    return (
+        _simhash_ctes()
+        + """
+        , banded AS (
+            SELECT doc_id, simhash, u.band_id,
+                   (simhash >> (u.band_id * 8)) & 255 AS band_val
+            FROM sig, unnest([0, 1, 2, 3]) AS u(band_id)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
         )
-        SELECT doc_id, ({sig})::BIGINT AS simhash FROM s
+        SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INTEGER AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= 2
     """
+    )
 
 
-def _ann_lsh_sql() -> str:
+def _lsh_bucket_sql(col: str = "embedding") -> str:
     from ocr_corrector_spark.operators.sqlops import LSH_PLANES, _hyperplane
 
     bits = []
@@ -87,26 +116,64 @@ def _ann_lsh_sql() -> str:
         plane = ", ".join(str(c) for c in _hyperplane(k))
         bits.append(
             f"CASE WHEN round(list_sum(list_transform(range(1, 65), "
-            f"i -> embedding[i]::DOUBLE * ([{plane}])[i])), 6) > 0 "
+            f"i -> {col}[i]::DOUBLE * ([{plane}])[i])), 6) > 0 "
             f"THEN {1 << k} ELSE 0 END"
         )
-    expr = " + ".join(bits)
+    return " + ".join(bits)
+
+
+def _ann_lsh_sql() -> str:
     return f"""
         SELECT bucket, count(*) AS n_vecs FROM (
-            SELECT ({expr}) AS bucket FROM embeddings
+            SELECT ({_lsh_bucket_sql()}) AS bucket FROM embeddings
         ) GROUP BY bucket
     """
 
 
-def oracle_sql() -> dict[str, str]:
-    kws = ", ".join(f"('{k}')" for k in ("spark", "scan", "sort", "join", "merge", "batch"))
-    ngrams = (
-        "list_distinct(CASE WHEN len(string_split(text,' ')) >= 3 THEN "
-        "list_transform(range(0, len(string_split(text,' ')) - 2), "
-        "i -> string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] "
-        "|| ' ' || string_split(text,' ')[i+3]) "
+def _ann_probe_sql() -> str:
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, ({_lsh_bucket_sql()}) AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0
+        ), cand AS (
+            SELECT e.vec_id, e.embedding, q.qv
+            FROM b e CROSS JOIN q
+            WHERE e.vec_id <> 0
+              AND bit_count(xor(e.bucket::BIGINT, q.qbucket::BIGINT)) <= 1
+        ), scored AS (
+            SELECT vec_id,
+                   round(
+                     list_sum(list_transform(range(1, 65),
+                              i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))),
+                     6) AS cos_sim
+            FROM cand
+        )
+        SELECT vec_id, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
+def _ngrams_sql(split: str) -> str:
+    """DuckDB word-3-gram macro over an arbitrary list expression (matches
+    sqlops._word_ngrams)."""
+    return (
+        f"list_distinct(CASE WHEN len({split}) >= 3 THEN "
+        f"list_transform(range(0, len({split}) - 2), "
+        f"i -> {split}[i+1] || ' ' || {split}[i+2] "
+        f"|| ' ' || {split}[i+3]) "
         "ELSE [] END)"
     )
+
+
+def oracle_sql() -> dict[str, str]:
+    kws = ", ".join(f"('{k}')" for k in ("spark", "scan", "sort", "join", "merge", "batch"))
+    ngrams = _ngrams_sql("string_split(text,' ')")
+    ev_ngrams = _ngrams_sql("string_split(event_seq, ',')")
     minhash_sig = ", ".join(
         f"list_aggregate(list_transform(grams, g -> md5('{s}' || g)), 'min') AS mh_{s}"
         for s in ("s1", "s2", "s3", "s4")
@@ -359,5 +426,39 @@ def oracle_sql() -> dict[str, str]:
                    round(inter::DOUBLE / uni, 4) AS jaccard
             FROM pairs
             WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.30
+        """,
+        "simhash_neardup_pairs": _simhash_neardup_sql(),
+        "ann_probe_topk": _ann_probe_sql(),
+        "conversation_dedup": f"""
+            WITH seqs AS (
+                SELECT user_id,
+                       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+                FROM events
+                WHERE user_id < 300
+                GROUP BY user_id
+            ), g AS (
+                SELECT user_id, {ev_ngrams} AS grams FROM seqs
+            ), g2 AS (
+                SELECT * FROM g WHERE len(grams) > 0
+            ), sigs AS (
+                SELECT user_id, {minhash_sig}
+                FROM g2
+            ), keyed AS (
+                SELECT s.user_id,
+                       mh_s1 || '|' || mh_s2 || '|' || mh_s3 || '|' || mh_s4 AS band_key,
+                       g2.grams
+                FROM sigs s JOIN g2 USING (user_id)
+            ), pairs AS (
+                SELECT a.user_id AS user_a, b.user_id AS user_b,
+                       len(list_intersect(a.grams, b.grams)) AS inter,
+                       len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)) AS uni
+                FROM keyed a JOIN keyed b
+                  ON a.band_key = b.band_key AND a.user_id < b.user_id
+            )
+            SELECT user_a, user_b,
+                   round(inter::DOUBLE / uni, 4) AS jaccard
+            FROM pairs
+            WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.3
         """,
     }

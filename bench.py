@@ -196,6 +196,36 @@ def main() -> None:
     spark.stop()
 
 
+def _scaling_evidence() -> dict | None:
+    """The committed gated scaling artifact (scripts/scaling.py →
+    BENCH/scaling_evidence.json), embedded so the per-round bench JSON
+    carries the N→4N evidence itself."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_evidence.json"
+    )
+    try:
+        with open(path) as f:
+            ev = json.load(f)
+    except Exception:
+        return None
+    sel = ev.get("selected_round") or {}
+    return {
+        "raw_efficiency": ev.get("raw_efficiency"),
+        "meets_target": ev.get("meets_target"),
+        "target": ev.get("target"),
+        "n_cores": ev.get("n_cores"),
+        "n4_cores": ev.get("n4_cores"),
+        "thr_N_pre": sel.get("thr_N_pre"),
+        "thr_4N": sel.get("thr_4N"),
+        "thr_N_post": sel.get("thr_N_post"),
+        "measured_utc": sel.get("started_utc"),
+        "gate": ev.get("gate", {}).get("definition"),
+        "median_eff_gated": ev.get("median_eff_gated"),
+        "rounds_run": len(ev.get("rounds", [])),
+        "artifact": "BENCH/scaling_evidence.json",
+    }
+
+
 def _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec):
     out = {
         "metric": "headline suite wall time (flagship correction + operator analogs)",
@@ -211,6 +241,9 @@ def _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec):
     }
     if "flagship_fused" in timings:
         out["fused_turns_per_sec"] = round(n_turns / timings["flagship_fused"], 1)
+    scaling = _scaling_evidence()
+    if scaling is not None:
+        out["scaling"] = scaling
     print(json.dumps(out))
 
 

@@ -74,6 +74,12 @@ PINNED: dict[str, list[str]] = {
     "主": ["⿱丶⿻⿻一一丨"],
     "万": ["⿻一𠃌丿"],
     "方": ["⿱丶⿻一⿰𠃌丿"],
+    # 太 = 大 + 丶 (ed 1 from 大's decomposition → similarity 0.833): used by
+    # the context-aware framed scorer demo (functions/framed_scorer.py).
+    # Safe for every default-path fixture: 太 is only ever the #2 candidate
+    # for observed 大, and #1 (天, similarity 0.714, conf 0.70) accepts
+    # first unless a context bigram reorders the candidates.
+    "太": ["⿻一⿰丿㇏丶"],
 }
 
 # sparse pronunciations; the pronunciation path is unused by the correctors'

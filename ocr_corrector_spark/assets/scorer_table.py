@@ -46,6 +46,25 @@ SCORER_TABLE: dict[str, list[tuple[str, float]]] = {
 }
 
 
+def scorer_table_from_df(df) -> dict[str, list[tuple[str, float]]]:
+    """Collect an offline-trained scorer table
+    (operators/confusion.scorer_table_from_stats output:
+    ``wrong_char, correct_char, prob, rk``) into the broadcastable dict the
+    correction UDF consumes.  The table is top-n per char (n small), so the
+    driver-side collect is bounded by the charset — the one legitimate
+    collect in the scorer path."""
+    rows = df.select("wrong_char", "correct_char", "prob", "rk").collect()
+    by_char: dict[str, list[tuple[int, str, float]]] = {}
+    for r in rows:
+        by_char.setdefault(r.wrong_char, []).append(
+            (int(r.rk), r.correct_char, float(r.prob))
+        )
+    return {
+        ch: [(cand, prob) for _, cand, prob in sorted(entries)]
+        for ch, entries in by_char.items()
+    }
+
+
 def topn_candidates(char: str, topn: int = DEFAULT_TOPN) -> list[tuple[str, float]]:
     """Top-n candidates for an observed char.  Unknown chars get an
     identity-dominant default (no correction results: identical-candidate

@@ -96,15 +96,45 @@ def bert_correct_one(
             if DIGIT_RE.match(origin[e]):  # never replace digits (:52-54)
                 continue
             observed = numfree[e]
-            for pred, confidence in scorer(observed)[:topn]:
-                similarity = char_sim.shape_similarity(pred, origin[e])  # (:59)
-                if origin[e] == pred:  # identical-candidate skip (:64-65)
-                    continue
-                if not check_candidate(origin[e], pred):  # F5/F6 guards (:66)
-                    continue
-                if curve_02(confidence, similarity):  # J3 (:68-71)
-                    origin[e] = pred
-                    break
+            _accept_candidates(origin, e, scorer(observed), char_sim, topn)
+        return "".join(origin)
+    except Exception:
+        return text  # row-level isolation (:74-77)
+
+
+def _accept_candidates(origin, e, candidates, char_sim, topn) -> None:
+    """The guard + curve-gated accept scan for one error position —
+    bit-parity with bert_corrector.py:56-71 including the short-circuit
+    ``break`` on first accepted candidate."""
+    for pred, confidence in candidates[:topn]:
+        similarity = char_sim.shape_similarity(pred, origin[e])  # (:59)
+        if origin[e] == pred:  # identical-candidate skip (:64-65)
+            continue
+        if not check_candidate(origin[e], pred):  # F5/F6 guards (:66)
+            continue
+        if curve_02(confidence, similarity):  # J3 (:68-71)
+            origin[e] = pred
+            return
+
+
+def bert_correct_one_framed(
+    text: str,
+    err_pos,
+    char_sim: CharSim,
+    per_err_candidates,
+    topn: int = 3,
+) -> str:
+    """BERT-path correction fed by PRE-COMPUTED per-error candidate lists
+    from the framed batch scorer (functions/framed_scorer.py — the
+    tokenize → frame → score path, masked_lm.py:251-302,400-447).  Guards,
+    curve gate and short-circuit semantics are shared with
+    ``bert_correct_one`` via ``_accept_candidates``."""
+    try:
+        origin = list(text)
+        for e, cands in zip(err_pos, per_err_candidates):
+            if DIGIT_RE.match(origin[e]):  # never replace digits (:52-54)
+                continue
+            _accept_candidates(origin, e, cands, char_sim, topn)
         return "".join(origin)
     except Exception:
         return text  # row-level isolation (:74-77)

@@ -158,6 +158,29 @@ def frame_sentence(
     return framed, input_mask, shifted
 
 
+def load_vocab(path: str) -> "OrderedDict[str, int]":
+    """vocab.txt loader with the reference's shape
+    (tokenization.py:70-95: one token per line, file order = id order,
+    21,128 tokens for BERT-base-Chinese) → ordered ``token -> id`` dict.
+    Blank lines terminate the file (the reference's readline loop stops at
+    EOF; trailing newline yields one empty token that is skipped)."""
+    from collections import OrderedDict
+
+    vocab: "OrderedDict[str, int]" = OrderedDict()
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            token = line.rstrip("\n").strip()
+            if not token or token in vocab:
+                continue
+            vocab[token] = len(vocab)
+    return vocab
+
+
+def inverse_vocab(vocab) -> dict[int, str]:
+    """id -> token inverse (tokenization.py:95's inv_vocab)."""
+    return {i: t for t, i in vocab.items()}
+
+
 def build_vocab(texts, extra=SPECIAL_TOKENS) -> set[str]:
     """Compact charset vocab for deterministic tests/benches: every char of
     the given corpus (plus specials and the CJK numerals used by the digit

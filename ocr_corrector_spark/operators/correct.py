@@ -25,12 +25,17 @@ from ..assets import KEYWORDS
 from ..assets.scorer_table import SCORER_TABLE, topn_candidates
 from ..functions.bktree import BKTree
 from ..functions.charsim import CharSim
-from ..functions.correct_kernels import bert_correct_one, keyword_correct_one
+from ..functions.correct_kernels import (
+    bert_correct_one,
+    bert_correct_one_framed,
+    keyword_correct_one,
+)
 
 # per-worker kernel caches, keyed by config tuple — survives across Arrow
 # batches and tasks in the same Python worker process
 _KW_CACHE: dict = {}
 _CHAR_SIM_CACHE: dict = {}
+_FRAMED_CACHE: dict = {}
 _ROW_CACHE_MAX = 200_000
 # row-result memos per correction config — worker-global so the memo
 # survives across tasks (a closure dict would be re-deserialized fresh
@@ -69,6 +74,22 @@ def _get_kw_kernel(words: tuple):
     return hit
 
 
+def _get_framed_scorer(config_key, table, bigrams, topn):
+    fs = _FRAMED_CACHE.get(config_key)
+    if fs is None:
+        from ..functions.framed_scorer import FramedTableScorer
+
+        fs = FramedTableScorer(
+            table=table, context_bigrams=bigrams, topn=topn
+        )
+        _FRAMED_CACHE[config_key] = fs
+    return fs
+
+
+def _table_signature(table: dict) -> int:
+    return hash(tuple(sorted((k, tuple(v)) for k, v in table.items())))
+
+
 def with_dispatched_correction(
     df: DataFrame,
     similarity_threshold: float = 0.55,
@@ -79,6 +100,9 @@ def with_dispatched_correction(
     mode_col: str = "corr_mode",
     out_col: str = "text_corrected",
     row_counter=None,
+    scorer_backend: str = "table",
+    scorer_table: dict | None = None,
+    context_bigrams: dict | None = None,
 ) -> DataFrame:
     """Single-pass correction with per-row corrector dispatch.
 
@@ -90,15 +114,47 @@ def with_dispatched_correction(
     ``row_counter``: optional Spark accumulator; when set, the UDF adds the
     batch size per invocation — tests use it to assert the expensive stage
     executes exactly once per row per job (no recompute from extra actions).
+
+    ``scorer_backend``: ``"table"`` (char-keyed confusion table, default)
+    or ``"framed"`` (functions/framed_scorer.py — tokenize → frame → score
+    through the reference's batch contract, context-bigram aware).  Both
+    are deterministic; with an empty bigram table they are equal by
+    construction (tests/test_framed_scorer.py).
+
+    ``scorer_table``: override the built-in SCORER_TABLE with a plain dict
+    ``char -> [(candidate, confidence), ...]`` — e.g. the output of the
+    offline training loop (operators/confusion.scorer_table_from_stats via
+    assets/scorer_table.scorer_table_from_df).  Broadcast to workers.
     """
     spark = spark or SparkSession.getActiveSession()
     bc_words = spark.sparkContext.broadcast(tuple(keywords))
-    bc_scorer = spark.sparkContext.broadcast(dict(SCORER_TABLE))
+    table_dict = dict(SCORER_TABLE) if scorer_table is None else dict(scorer_table)
+    bc_scorer = spark.sparkContext.broadcast(table_dict)
+    framed = scorer_backend == "framed"
+    if framed:
+        from ..functions.framed_scorer import DEFAULT_CONTEXT_BIGRAMS
+
+        bigrams = (
+            dict(DEFAULT_CONTEXT_BIGRAMS)
+            if context_bigrams is None
+            else dict(context_bigrams)
+        )
+    else:
+        bigrams = {}
+    bc_bigrams = spark.sparkContext.broadcast(bigrams)
     # Memo config signature: correction is a pure function of (mode, text,
-    # err_pos) GIVEN the dictionaries/thresholds, and OCR'd transcript
-    # segments are highly repetitive (form labels, boilerplate turns) — so
-    # each Python worker memoizes row results across batches AND tasks.
-    cache_key = (similarity_threshold, topn, hash(tuple(keywords)))
+    # err_pos) GIVEN the dictionaries/thresholds/backend, and OCR'd
+    # transcript segments are highly repetitive (form labels, boilerplate
+    # turns) — so each Python worker memoizes row results across batches
+    # AND tasks.
+    cache_key = (
+        similarity_threshold,
+        topn,
+        hash(tuple(keywords)),
+        scorer_backend,
+        _table_signature(table_dict),
+        hash(tuple(sorted(bigrams.items()))),
+    )
 
     @F.pandas_udf(StringType())
     def correct_udf(text: pd.Series, err_pos: pd.Series, mode: pd.Series) -> pd.Series:
@@ -111,13 +167,40 @@ def with_dispatched_correction(
         def scorer(ch):
             cands = table.get(ch)
             if cands is None:
-                return topn_candidates(ch, topn)
+                # identity-dominant default; NOT topn_candidates, which
+                # would leak the built-in table under a custom scorer_table
+                return [(ch, 0.99), ("的", 0.004), ("一", 0.003)][:topn]
             return cands
 
         cache = _get_row_cache(cache_key)
+        rows = list(zip(text.tolist(), err_pos.tolist(), mode.tolist()))
+        if framed:
+            # batch-score the uncached bert rows through the framing path
+            # (A1 batching + pad/de-pad inside FramedTableScorer)
+            need = [
+                (i, t, e)
+                for i, (t, e, m) in enumerate(rows)
+                if m == 2 and t is not None and (2, t, tuple(e)) not in cache
+            ]
+            if need:
+                fs = _get_framed_scorer(cache_key, table, bc_bigrams.value, topn)
+                scored = fs.score_sentences(
+                    [t for _, t, _ in need], [list(e) for _, _, e in need]
+                )
+                for (_, t, e), per_err in zip(need, scored):
+                    if per_err is None:
+                        # token/char misalignment → char-keyed fallback
+                        hit = bert_correct_one(t, e, char_sim, scorer, topn)
+                    else:
+                        hit = bert_correct_one_framed(
+                            t, e, char_sim, per_err, topn
+                        )
+                    if len(cache) >= _ROW_CACHE_MAX:
+                        cache.pop(next(iter(cache)))
+                    cache[(2, t, tuple(e))] = hit
         out = []
         # list iteration beats Series iteration (no per-element numpy boxing)
-        for t, e, m in zip(text.tolist(), err_pos.tolist(), mode.tolist()):
+        for t, e, m in rows:
             if m not in (1, 2) or t is None:
                 out.append(t)
                 continue

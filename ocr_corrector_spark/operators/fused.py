@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
 from ..assets import KEYWORDS
-from ..assets.scorer_table import SCORER_TABLE, topn_candidates
+from ..assets.scorer_table import SCORER_TABLE
 from ..functions.rules import (
     do_correct_filter_bert,
     do_correct_filter_keyword,
@@ -47,13 +47,22 @@ def fused_correct(
     similarity_threshold: float = 0.55,
     topn: int = 3,
     keywords=KEYWORDS,
+    scorer_table: dict | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` (and rewrites ``text_col`` with extracted text) in
-    a single mapInPandas stage."""
+    a single mapInArrow stage.  ``scorer_table`` overrides the built-in
+    confusion table (e.g. an offline-trained table via
+    assets/scorer_table.scorer_table_from_df)."""
     spark = spark or SparkSession.getActiveSession()
     bc_words = spark.sparkContext.broadcast(tuple(keywords))
-    bc_scorer = spark.sparkContext.broadcast(dict(SCORER_TABLE))
-    cache_key = (similarity_threshold, topn, hash(tuple(keywords)))
+    table_dict = dict(SCORER_TABLE) if scorer_table is None else dict(scorer_table)
+    bc_scorer = spark.sparkContext.broadcast(table_dict)
+    cache_key = (
+        similarity_threshold,
+        topn,
+        hash(tuple(keywords)),
+        hash(tuple(sorted((k, tuple(v)) for k, v in table_dict.items()))),
+    )
 
     out_schema = StructType(
         [f for f in df.schema.fields] + [StructField(out_col, StringType())]
@@ -76,7 +85,8 @@ def fused_correct(
         def scorer(ch):
             cands = table.get(ch)
             if cands is None:
-                return topn_candidates(ch, topn)
+                # identity-dominant default (see operators/correct.py)
+                return [(ch, 0.99), ("的", 0.004), ("一", 0.003)][:topn]
             return cands
 
         for batch in batches:

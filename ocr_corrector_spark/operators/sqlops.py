@@ -330,6 +330,64 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+# --- dedup: SimHash Hamming-band near-dup pairs --------------------------------------------
+SIMHASH_BANDS = 4  # 4 bands x 8 bits over the 32-bit signature
+# <=2 differing bits: the hamming histogram of band candidates at sf0.01 is
+# 5/28/141 pairs at h=0/1/2 then explodes (551 at 3, 3569 at 6) — the knee
+# separates near-dups from background collisions of short docs
+SIMHASH_HAMMING_MAX = 2
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — q_simhash's signature computation, shared."""
+    return q_simhash(spark, sf_dir)
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, the LSH-banded scale path: the 32-bit
+    signature splits into 4 x 8-bit bands; docs agreeing on ANY band become
+    candidate pairs (equi-join on (band_id, band_val) — a shuffle on a
+    1-byte key, never an O(n²) cross join); exact Hamming distance
+    (bit_count of xor) verifies only the candidates.  Mirrors
+    q_minhash_neardup_pairs' two-stage shape; by the pigeonhole principle
+    any pair with fewer than 4 differing bits agrees on at least one of the
+    4 bands, so at the hamming <= 2 acceptance threshold the banding has NO
+    recall loss."""
+    sigs = _simhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255))
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()  # a pair may agree on several bands
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
 # --- similarity: embedding cosine near-dup pairs -------------------------------------------
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force over a bounded id
@@ -375,32 +433,69 @@ def _hyperplane(k: int) -> list[float]:
     return comps
 
 
-def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: 8 deterministic ±1 hyperplanes hash each
-    embedding to an 8-bit bucket; the bucket histogram is the candidate
-    structure that replaces the O(n²) cosine cross join at scale (probe the
-    query's bucket ± Hamming-1 neighbours)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+def _lsh_bucket_expr(v):
+    """8-bit sign-random-projection bucket of an embedding column."""
 
-    def dot_lit(v, plane):
+    def dot_lit(vec, plane):
         arr = F.array(*[F.lit(c) for c in plane])
         return F.aggregate(
-            F.zip_with(v, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+            F.zip_with(vec, arr, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
         )
 
     bucket = None
     for k in range(LSH_PLANES):
-        bit = F.when(F.round(dot_lit(F.col("v"), _hyperplane(k)), 6) > 0, F.lit(1 << k)).otherwise(
-            F.lit(0)
-        )
+        bit = F.when(
+            F.round(dot_lit(v, _hyperplane(k)), 6) > 0, F.lit(1 << k)
+        ).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: 8 deterministic ±1 hyperplanes hash each
+    embedding to an 8-bit bucket; the bucket histogram is the candidate
+    structure that replaces the O(n²) cosine cross join at scale (probe the
+    query's bucket ± Hamming-1 neighbours — q_ann_probe_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
     return (
-        emb.select(bucket.alias("bucket"))
+        emb.select(_lsh_bucket_expr(F.col("v")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def q_ann_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN last mile: top-10 cosine neighbours of the vec_id=0 query
+    restricted to its LSH bucket ± Hamming-1 (the 9 buckets differing in at
+    most one hyperplane sign).  Exact scoring touches only the probed
+    candidates — at scale that is |table| / 2^planes * 9 vectors instead of
+    the whole table, and the probe set is an equi-ish join on a 1-byte
+    bucket key.  Tie-break on vec_id; the brute-force q_cosine_topk is the
+    paired correctness baseline (its top-k restricted to the probed set
+    must equal this — the DuckDB oracle states exactly that)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = emb.select("vec_id", "v", _lsh_bucket_expr(F.col("v")).alias("bucket"))
+    qrow = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("q"), F.col("bucket").alias("qbucket")
+    )
+    cand = bucketed.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow)).filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    cos = dot(F.col("v"), F.col("q")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("q"), F.col("q")))
+    )
+    scored = cand.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
 
 
 # --- text analysis: language-ID heuristic ----------------------------------------------------
@@ -527,6 +622,60 @@ def q_layout_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return with_extraction(docs, out_col="text_main").select("doc_id", "text_main")
+
+
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-LEVEL near-dup detection — the LLM-pipeline user dedups
+    whole conversations, not single turns.  Shape: (1) reassemble each
+    user's event stream in stable (ts, event_id) order with the two-stage
+    SALTED aggregation (operators/reassemble.py — a hot user cannot pin one
+    reducer); (2) shingle the reassembled sequence into 3-grams;
+    (3) 4-seed MinHash full-signature banding proposes candidate pairs
+    (equi-join on the band key); (4) exact Jaccard over the shingle sets
+    verifies candidates at >= 0.3.  No stage is all-pairs; conversations
+    with near-identical event flows land in one bucket by construction."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    payload = F.struct("ts", "event_id", "event_type")
+    stage1 = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+        .groupBy("user_id", "_salt")
+        .agg(F.collect_list(payload).alias("_chunk"))
+    )
+    seqs = stage1.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.flatten(F.collect_list("_chunk"))),
+            lambda s: s.event_type,
+        ).alias("events")
+    )
+    docs = seqs.select(
+        "user_id", _word_ngrams(F.col("events")).alias("grams")
+    ).filter(F.size("grams") > 0)
+    sigs = (
+        docs.select("user_id", F.explode("grams").alias("g"))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(s), F.col("g")))).alias(f"mh_{s}")
+                for s in MINHASH_SEEDS
+            ]
+        )
+    )
+    band = F.concat_ws("|", *[F.col(f"mh_{s}") for s in MINHASH_SEEDS])
+    keyed = sigs.select("user_id", band.alias("band_key")).join(docs, "user_id")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return pairs.select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        F.round(jac, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.3)
 
 
 def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,8 +43,17 @@ def correct_pipeline(
     order_output: bool = True,
     keep_mode_col: bool = False,
     row_counter=None,
+    scorer_backend: str = "table",
+    scorer_table: dict | None = None,
+    context_bigrams: dict | None = None,
 ) -> DataFrame:
-    """Adds ``text_corrected`` (+ ``text`` rewritten by extraction)."""
+    """Adds ``text_corrected`` (+ ``text`` rewritten by extraction).
+
+    ``scorer_backend``/``scorer_table``/``context_bigrams`` select the
+    masked-LM stand-in (operators/correct.with_dispatched_correction):
+    the char-keyed table (default), an offline-trained table
+    (assets/scorer_table.scorer_table_from_df), or the context-aware
+    framed path (functions/framed_scorer.py)."""
     if order_output:
         df = order_turns(df)
     if extract_html:
@@ -66,6 +75,9 @@ def correct_pipeline(
         similarity_threshold=keyword_similarity_threshold,
         spark=spark,
         row_counter=row_counter,
+        scorer_backend=scorer_backend,
+        scorer_table=scorer_table,
+        context_bigrams=context_bigrams,
     )
     if keep_mode_col:
         return out.drop("err_pos")

@@ -45,6 +45,20 @@ def main() -> None:
         help="staged = Catalyst-visible pre-filters, two Arrow stages; "
         "fused = one MapInArrow crossing (faster when UDF-dominated)",
     )
+    ap.add_argument(
+        "--scorer-table",
+        default=None,
+        help="parquet path of an offline-trained scorer table "
+        "(operators/confusion.scorer_table_from_stats output: wrong_char, "
+        "correct_char, prob, rk) replacing the built-in confusion table",
+    )
+    ap.add_argument(
+        "--scorer-backend",
+        choices=("table", "framed"),
+        default="table",
+        help="masked-LM stand-in: char-keyed table, or the tokenize→frame→"
+        "score context-aware path (functions/framed_scorer.py)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -70,6 +84,12 @@ def main() -> None:
         n_buckets=args.buckets,
     )
 
+    scorer_table = None
+    if args.scorer_table:
+        from ocr_corrector_spark.assets.scorer_table import scorer_table_from_df
+
+        scorer_table = scorer_table_from_df(spark.read.parquet(args.scorer_table))
+
     def transform(d):
         if args.plan == "fused":
             # Order FIRST: repartitionByRange samples its child for range
@@ -77,8 +97,14 @@ def main() -> None:
             # the mapInArrow stage an extra time per action.  mapInArrow is
             # narrow/order-preserving, so sorted input stays sorted —
             # matching the staged plan's layout (plans/pipeline.py).
-            return fused_correct(order_turns(d), spark)
-        return correct_pipeline(d, spark, keep_mode_col=True)
+            return fused_correct(order_turns(d), spark, scorer_table=scorer_table)
+        return correct_pipeline(
+            d,
+            spark,
+            keep_mode_col=True,
+            scorer_backend=args.scorer_backend,
+            scorer_table=scorer_table,
+        )
 
     # Audit as a post-write hook: the wave's frame is persisted across the
     # output write and both audit actions, so the correction UDF runs once

@@ -1,0 +1,171 @@
+"""The context-aware framed scorer backend (functions/framed_scorer.py):
+T11/T12 wired into production scoring.
+
+Covers the verdict-r01 'Done' contract: the bert_corrector doctest goldens
+pass THROUGH the framed path, framing demonstrably shifts offsets by +2
+and digit-translates the model input (masked_lm.py:251-302 semantics), the
+empty-bigram backend equals the char-keyed table scorer, and a context
+bigram re-ranks candidates in a way the char-keyed scorer cannot."""
+
+import pytest
+
+from ocr_corrector_spark.assets.char_meta import build_char_meta
+from ocr_corrector_spark.functions.charsim import CharSim
+from ocr_corrector_spark.functions.correct_kernels import (
+    bert_correct_one,
+    bert_correct_one_framed,
+)
+from ocr_corrector_spark.functions.framed_scorer import FramedTableScorer
+from ocr_corrector_spark.assets.scorer_table import topn_candidates
+from ocr_corrector_spark.functions.tokenizer import (
+    inverse_vocab,
+    load_vocab,
+    tokenize,
+)
+
+
+@pytest.fixture(scope="module")
+def char_sim():
+    return CharSim(build_char_meta())
+
+
+def _framed_correct(texts, errs, char_sim, **kw):
+    fs = FramedTableScorer(**kw)
+    scored = fs.score_sentences(texts, errs)
+    out = []
+    for t, e, per_err in zip(texts, errs, scored):
+        assert per_err is not None
+        out.append(bert_correct_one_framed(t, e, char_sim, per_err))
+    return out, fs
+
+
+# --- goldens through the framed path -----------------------------------------
+def test_bert_doctest_goldens_through_framed_path(char_sim):
+    # bert_corrector.py:28-34 + README.md:17-27, scored via tokenize→frame
+    texts = [
+        "本着平等、白愿、诚信、互利的原则，一致同意本合同内容，并共同遵守。",
+        "无效、重大暇疵或不符合乙方其他规定的债权资产，乙方有权拒绝，不子初始登",
+        "我爱北京大安门",
+    ]
+    errs = [[5], [5, 31], [4]]
+    out, _ = _framed_correct(texts, errs, char_sim)
+    assert out == [
+        "本着平等、自愿、诚信、互利的原则，一致同意本合同内容，并共同遵守。",
+        "无效、重大瑕疵或不符合乙方其他规定的债权资产，乙方有权拒绝，不予初始登",
+        "我爱北京天安门",
+    ]
+
+
+def test_framed_equals_table_scorer_with_empty_bigrams(char_sim):
+    # with no context bigrams the framed backend must reduce bit-for-bit to
+    # the char-keyed scorer — including guard rejections, unknown chars,
+    # digits, and >3-error unmasked framing
+    texts = [
+        "本着平等、白愿、诚信、互利的原则",
+        "一万个文本",
+        "术语的文本",
+        "国际电台苦名丰持人",
+        "逾期3天要还",
+        "错字很多的句子啊",
+        "我爱北京大安门",
+    ]
+    errs = [[5], [1], [0], [4, 6], [2], [0, 2, 4, 6], [4]]
+    framed_out, _ = _framed_correct(
+        texts, errs, char_sim, context_bigrams={}
+    )
+    table_out = [
+        bert_correct_one(t, e, char_sim, topn_candidates)
+        for t, e in zip(texts, errs)
+    ]
+    assert framed_out == table_out
+
+
+# --- context awareness --------------------------------------------------------
+def test_context_bigram_reranks_candidate(char_sim):
+    # 大 → 天 (conf .70) by default; the (太, 阳) bigram lifts 太 (.04 → .80)
+    # above 天 ONLY when the right neighbour token is 阳 — the char-keyed
+    # scorer cannot express this.
+    texts = ["我爱大阳升起", "我爱北京大安门"]
+    errs = [[2], [4]]
+    out, _ = _framed_correct(texts, errs, char_sim)
+    assert out == ["我爱太阳升起", "我爱北京天安门"]
+
+
+# --- framing semantics pinned ------------------------------------------------
+def test_frame_shift_and_digit_translate(char_sim):
+    # masked_lm.py:251-302: [CLS] 。 prefix shifts offsets +2; T1 digit
+    # translate happens BEFORE the model sees the text, so the frame holds
+    # the CJK numeral, and <=3 errors → [MASK] substitution at e+2.
+    fs = FramedTableScorer()
+    fs.score_sentences(["白2愿意了"], [[0]])
+    frame = fs.last_frames[0]
+    assert frame[:2] == ["[CLS]", "。"]
+    assert frame[2] == "[MASK]"  # error position 0 → framed index 2
+    assert frame[3] == "二"  # '2' digit-translated in the model input
+    assert frame[4:7] == ["愿", "意", "了"]
+    assert len(frame) == 64 and frame[-1] == "[PAD]"
+
+
+def test_more_than_max_mask_errors_keep_chars():
+    # >3 errors → original chars stay in the frame (masked_lm.py:285-302)
+    fs = FramedTableScorer()
+    fs.score_sentences(["错字很多的句子"], [[0, 1, 2, 3]])
+    frame = fs.last_frames[0]
+    assert frame[2:6] == ["错", "字", "很", "多"]
+
+
+def test_batching_pad_depad_roundtrip(char_sim):
+    # batch_size 4 with ragged error counts: the per-batch pad width is the
+    # max error count (masked_lm.py:233-234) and de-padding restores each
+    # sentence's own count (masked_lm.py:400-447)
+    texts = ["我爱北京大安门"] * 10
+    errs = [[4], [4, 5], [], [0, 2, 4], [4], [1], [4, 5, 6], [], [4], [0]]
+    fs = FramedTableScorer(batch_size=4, context_bigrams={})
+    scored = fs.score_sentences(texts, errs)
+    assert [len(s) for s in scored] == [len(e) for e in errs]
+    # every non-empty candidate list is confidence-descending top-3
+    for row in scored:
+        for cands in row:
+            confs = [c for _, c in cands]
+            assert confs == sorted(confs, reverse=True)
+            assert len(cands) <= 3
+
+
+def test_misaligned_tokens_signal_fallback():
+    # a latin word tokenizes to ONE token for 3 chars → positional error
+    # indices are undefined → None (caller falls back to char-keyed path)
+    fs = FramedTableScorer(vocab={"abc", "[UNK]", "大", "。"})
+    scored = fs.score_sentences(["abc大"], [[0]])
+    assert scored == [None]
+
+
+def test_truncated_error_position_skipped(char_sim):
+    # error beyond max_seq_length-2 → empty candidate list, row isolated
+    long_text = "错" * 70
+    fs = FramedTableScorer()
+    scored = fs.score_sentences([long_text], [[65]])
+    assert scored[0] == [[]]
+    assert (
+        bert_correct_one_framed(long_text, [65], char_sim, scored[0])
+        == long_text
+    )
+
+
+# --- vocab loader (tokenization.py:70-95 shape) -------------------------------
+def test_load_vocab_order_and_inverse(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\n大\n安\n门\n##门\n大\n", encoding="utf-8")
+    vocab = load_vocab(str(p))
+    # file order = id order; duplicate 大 keeps first id
+    assert list(vocab)[:5] == ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    assert vocab["大"] == 5 and vocab["##门"] == 8
+    assert len(vocab) == 9
+    inv = inverse_vocab(vocab)
+    assert inv[5] == "大" and inv[0] == "[PAD]"
+
+
+def test_tokenize_through_loaded_vocab(tmp_path):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(["[UNK]", "大", "安", "门"]) + "\n", encoding="utf-8")
+    vocab = load_vocab(str(p))
+    assert tokenize("大安门X", set(vocab)) == ["大", "安", "门", "[UNK]"]
