@@ -47,6 +47,9 @@ def main() -> None:
         "turn_reassembly",
         "keyword_fuzzy_join",
         "err_positions",
+        "simhash_neardup_pairs",
+        "ann_probe_topk",
+        "conversation_dedup",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 
@@ -58,7 +61,16 @@ def main() -> None:
             "(PushedFilters/ReadSchema); detection expressions sit inside "
             "WholeStageCodegen; the only wide stages are the input range "
             "shuffle (ordering) and the agg shuffles; dictionary joins are "
-            "BroadcastHashJoin; the Arrow UDF stages are ArrowEvalPython.\n"
+            "BroadcastHashJoin; the Arrow UDF stages are ArrowEvalPython.\n\n"
+            "Self-join dedup queries (simhash_neardup_pairs, "
+            "minhash_neardup_pairs, conversation_dedup): the STATIC plan "
+            "shows the signature aggregation subtree once per join side, but "
+            "AQE's ReuseExchangeAndSubquery dedupes the identical exchanges "
+            "at runtime — the executed final plan carries a ReusedExchange "
+            "node and materializes each signature shuffle once (verified on "
+            "sf0.01: isFinalPlan=true, ReusedExchange=1, 3 shuffle stages "
+            "for simhash_neardup_pairs).  The expensive explode+agg runs "
+            "once per query at any scale.\n"
         )
         for name, plan in sections.items():
             f.write(f"\n## {name}\n\n```\n{plan}\n```\n")
