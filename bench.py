@@ -178,6 +178,9 @@ def main() -> None:
         "pricing_summary",
         "text_quality",
         "keyword_fuzzy_join",
+        "simhash_neardup_pairs",
+        "ann_probe_topk",
+        "conversation_dedup",
     )
     for name in query_names:
         fn = getattr(sqlops, f"q_{name}")
