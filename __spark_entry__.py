@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_pairs": q.q_minhash_neardup_pairs,
         "simhash_neardup_pairs": q.q_simhash_neardup_pairs,
         "ann_probe_topk": q.q_ann_probe_topk,
+        "ivf_probe_topk": q.q_ivf_probe_topk,
         "conversation_dedup": q.q_conversation_dedup,
     }
 
@@ -429,6 +430,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_neardup_pairs": _simhash_neardup_sql(),
         "ann_probe_topk": _ann_probe_sql(),
+        "ivf_probe_topk": """
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding AS c
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, cents.centroid_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             i -> (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE)
+                                  * (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE))), 6) AS l2
+                FROM embeddings e CROSS JOIN cents
+            ), assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rk
+                    FROM scored
+                ) WHERE rk = 1
+            ), q AS (
+                SELECT a.centroid_id AS q_centroid, e.embedding AS qv
+                FROM assign a JOIN embeddings e USING (vec_id)
+                WHERE a.vec_id = 0
+            ), cand AS (
+                SELECT e.vec_id, e.embedding, q.qv
+                FROM assign a
+                JOIN embeddings e USING (vec_id)
+                CROSS JOIN q
+                WHERE a.centroid_id = q.q_centroid AND e.vec_id <> 0
+            ), cos AS (
+                SELECT vec_id,
+                       round(
+                         list_sum(list_transform(range(1, 65),
+                                  i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+                         / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                            * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))),
+                         6) AS cos_sim
+                FROM cand
+            )
+            SELECT vec_id, cos_sim FROM cos
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 10
+        """,
         "conversation_dedup": f"""
             WITH seqs AS (
                 SELECT user_id,

@@ -590,6 +590,36 @@ def q_ivf_list_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe (nprobe=1): top-10 cosine neighbours of the vec_id=0 query
+    scanning ONLY its own inverted list — the complementary ANN last mile
+    to q_ann_probe_topk.  At scale the probed work is |table|/K vectors
+    reached through a broadcast of the (tiny) centroid assignment of the
+    query; exact cosine runs on the single list."""
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    keyed = emb.join(assign, "vec_id")
+    q_list = keyed.filter(F.col("vec_id") == 0).select(
+        F.col("centroid_id").alias("q_centroid"), F.col("v").alias("q")
+    )
+    cand = keyed.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q_list), F.col("centroid_id") == F.col("q_centroid")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    cos = dot(F.col("v"), F.col("q")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("q"), F.col("q")))
+    )
+    scored = cand.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
 # --- extraction-stage analogs (S5/driver-mandated extraction) --------------------------
 def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content HTML extraction exercised through the REAL kernel: each
