@@ -18,8 +18,11 @@ protocol is therefore GATED and round-structured:
   shows up as N-pre/N-post disagreement;
 * round gate (all must hold, thresholds stated in the artifact):
     G1  stability   |thr_N_pre − thr_N_post| / max ≤ STABILITY_TOL
-    G2  N not starved    max(capacity probes @ N workers) ≥ CAP_N_MIN
-    G3  4N offered cores max(cap @ 4N) / max(cap @ N) ≥ CAP_RATIO_MIN
+    G2  N not starved    min(capacity probes @ N workers) ≥ CAP_N_MIN
+    G3  4N offered cores min(cap @ 4N) / min(cap @ N) ≥ CAP_RATIO_MIN
+  min, not max: the probes BRACKET each timed rep, so a round where
+  capacity collapsed mid-rep (first probe quiet, second degraded) must
+  fail the gate — both brackets have to be quiet.
   G2/G3 use the pure-Python burn probe (bench.py measure_capacity) taken
   immediately around each timed rep.  G2 blocks the false-POSITIVE mode
   (a background-loaded host suppresses the small config and inflates the
@@ -142,8 +145,10 @@ def run_round(n: int, sf_dir: str, seed: int) -> dict:
     thr_pre = b_pre["corrected_turns_per_sec"]
     thr_4n = b_4n["corrected_turns_per_sec"]
     thr_post = b_post["corrected_turns_per_sec"]
-    cap_n = max(b_pre["hw_capacity_probes"] + b_post["hw_capacity_probes"])
-    cap_4n = max(b_4n["hw_capacity_probes"])
+    # min over the bracketing probes: capacity must hold BEFORE AND AFTER
+    # every timed rep of the round (a mid-round collapse fails the gate)
+    cap_n = min(b_pre["hw_capacity_probes"] + b_post["hw_capacity_probes"])
+    cap_4n = min(b_4n["hw_capacity_probes"])
 
     stability = abs(thr_pre - thr_post) / max(thr_pre, thr_post)
     cap_ratio = cap_4n / cap_n if cap_n else 0.0
@@ -202,7 +207,7 @@ def write_baseline_md(summary: dict) -> None:
         "**Gated rounds** (shared-host protocol): one round = N(pre) → 4N → N(post)",
         "back-to-back on the same seed; a round counts as evidence only if",
         f"G1 |ΔN-pre/post| ≤ {summary['gate']['stability_tol']},",
-        f"G2 max capacity probe @ {n} workers ≥ {summary['gate']['cap_n_min']},",
+        f"G2 min capacity probe @ {n} workers ≥ {summary['gate']['cap_n_min']},",
         f"G3 capacity ratio 4N/N ≥ {summary['gate']['cap_ratio_min']}",
         "(burn-probe capacities taken immediately around each timed rep).",
         "Raw efficiency per round = thr(4N) / (4 · mean(thr_N_pre, thr_N_post)) —",
@@ -307,8 +312,9 @@ def main() -> None:
             "cap_ratio_min": CAP_RATIO_MIN,
             "definition": (
                 "round = N(pre)->4N->N(post) same-seed fresh-JVM benches; "
-                "G1 |thr_N_pre-thr_N_post|/max<=tol; G2 max cap probe@N>=cap_n_min; "
-                "G3 max cap@4N / max cap@N >= cap_ratio_min; "
+                "G1 |thr_N_pre-thr_N_post|/max<=tol; G2 min cap probe@N>=cap_n_min; "
+                "G3 min cap@4N / min cap@N >= cap_ratio_min (probes bracket "
+                "each timed rep; min = capacity held through the whole round); "
                 "eff = thr_4N/(4*mean(thr_N_pre,thr_N_post))"
             ),
         },
