@@ -248,9 +248,10 @@ def write_baseline_md(summary: dict) -> None:
             f"{r['thr_4N']} | {r['thr_N_post']} | {r['raw_efficiency']} | {g} |"
         )
     if full.get("queries"):
+        fc = full.get("cpus", n4)
         lines += [
             "",
-            f"Per-query wall seconds @ local[{n4}], sf {full.get('sf')} "
+            f"Per-query wall seconds @ local[{fc}], sf {full.get('sf')} "
             "(min of 5 after warm; flagship min of 3 distinct-seed reps):",
             "",
             "| query | sec |",
@@ -260,9 +261,12 @@ def write_baseline_md(summary: dict) -> None:
         lines += [
             "",
             f"Headline: {full.get('corrected_turns_per_sec')} corrected turns/s "
-            f"(staged), {full.get('fused_turns_per_sec')} (fused) @ local[{n4}], "
+            f"(staged), {full.get('fused_turns_per_sec')} (fused) @ local[{fc}], "
             f"{full.get('n_turns')} turns.",
         ]
+    extra = summary.get("companion_note")
+    if extra:
+        lines += ["", extra]
     lines.append("")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines))
