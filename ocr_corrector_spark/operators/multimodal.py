@@ -109,13 +109,79 @@ def _try_import(name: str):
         return None
 
 
+IMAGE_DECODE_SCHEMA = StructType(
+    [
+        StructField("format", StringType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_rgb", StringType()),  # "r,g,b" rounded to 2dp
+        StructField("thumbnail", BinaryType()),  # 8x8 PPM (P6)
+        StructField("error", StringType()),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame, content_col: str = "content", thumb: int = 8
+) -> DataFrame:
+    """REAL image decode + feature-extract + resize for library-free
+    formats (PPM P6, uncompressed 24-bit BMP — functions/imagecodec.py,
+    pure numpy), inside the same Arrow-batched ``mapInPandas`` shape a
+    codec-library decoder slots into.  Per-row isolation: undecodable or
+    compressed-format rows (JPEG/PNG need an external lib) carry the
+    failure in ``image.error`` and never fail the task."""
+    import numpy as np
+
+    from ..functions.imagecodec import decode_any, encode_ppm, resize_nearest
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("image", IMAGE_DECODE_SCHEMA)]
+    )
+
+    def one(b):
+        from ..functions.imagecodec import sniff_format
+
+        fmt = sniff_format(bytes(b)) if b is not None else None
+        try:
+            img = decode_any(bytes(b))
+        except Exception as exc:
+            return {
+                "format": fmt, "height": None, "width": None,
+                "channels": None, "mean_rgb": None, "thumbnail": None,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+        mean = img.reshape(-1, img.shape[2]).mean(axis=0)
+        return {
+            "format": fmt,
+            "height": int(img.shape[0]),
+            "width": int(img.shape[1]),
+            "channels": int(img.shape[2]),
+            "mean_rgb": ",".join(f"{v:.2f}" for v in mean),
+            "thumbnail": encode_ppm(
+                resize_nearest(img, thumb, thumb).astype(np.uint8)
+            ),
+            "error": None,
+        }
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["image"] = pdf[content_col].map(one)
+            yield pdf
+
+    return df.mapInPandas(decode, out_schema)
+
+
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """STUB: real impl decodes to (height, width, channels) + a thumbnail
-    via PIL inside the same mapInPandas shape as with_media_metadata."""
+    """Compressed-format decode (JPEG/PNG) requires Pillow — env-gated
+    stub; ``decode_images`` above is the REAL path for library-free
+    formats."""
     if _try_import("PIL") is None:
         raise NotImplementedError(
-            "image decoding requires Pillow, not present in this container; "
-            "the Spark plumbing (schema/batching) is with_media_metadata"
+            "JPEG/PNG decoding requires Pillow, not present in this "
+            "container; use decode_images (PPM/BMP, pure numpy) or install "
+            "a codec library"
         )
     raise NotImplementedError("wire PIL.Image.open over the Arrow binary batches")
 

@@ -31,9 +31,10 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    n_convs = int(os.environ.get("SMOKE_N_CONVS", "400000"))
+    n_convs = int(os.environ.get("SMOKE_N_CONVS", "2000000"))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     buckets = int(os.environ.get("SMOKE_BUCKETS", "64"))
+    wave_size = int(os.environ.get("SMOKE_WAVE_SIZE", "32"))
 
     from pyspark.sql import functions as F
 
@@ -75,6 +76,7 @@ def main() -> None:
         spark,
         df,
         transform,
+        wave_size=wave_size,
         post_write=lambda out: write_audit(out, "smoke", audit_path),
     )
     wall = time.perf_counter() - t0
@@ -113,7 +115,7 @@ granularity.
 | metric | value |
 |---|---|
 | input turns | {n_turns:,} |
-| buckets (waves of ~1/4) | {done} |
+| buckets completed (waves of {wave_size}) | {done} |
 | wall seconds (all waves, writes + audit included) | {result['wall_sec']} |
 | corrected turns/sec | {result['corrected_turns_per_sec']:,} |
 | output rows == input == audit sum(n_rows) | {result['invariant_rows_match']} |
