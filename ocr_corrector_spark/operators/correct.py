@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from ..assets import KEYWORDS
-from ..assets.scorer_table import SCORER_TABLE, topn_candidates
+from ..assets.scorer_table import SCORER_TABLE
 from ..functions.bktree import BKTree
 from ..functions.charsim import CharSim
 from ..functions.correct_kernels import (
@@ -234,55 +234,24 @@ def with_correction(
     text_col: str = "text",
     out_col: str = "text_corrected",
 ) -> DataFrame:
-    """Adds ``text_corrected``.  Requires columns from with_error_detection
-    (``err_pos``, ``needs_correction``)."""
-    spark = spark or SparkSession.getActiveSession()
-    bc_words = spark.sparkContext.broadcast(tuple(keywords))
-    bc_scorer = spark.sparkContext.broadcast(dict(SCORER_TABLE))
-
-    if corrector == "keyword":
-
-        @F.pandas_udf(StringType())
-        def correct_udf(
-            text: pd.Series, err_pos: pd.Series, needs: pd.Series
-        ) -> pd.Series:
-            tree, kwset = _get_kw_kernel(bc_words.value)
-            char_sim = _get_char_sim()
-            out = []
-            for t, e, n in zip(text, err_pos, needs):
-                if not n or t is None:
-                    out.append(t)
-                else:
-                    out.append(
-                        keyword_correct_one(
-                            t, e, tree, kwset, char_sim, similarity_threshold
-                        )
-                    )
-            return pd.Series(out)
-
-    else:
-
-        @F.pandas_udf(StringType())
-        def correct_udf(
-            text: pd.Series, err_pos: pd.Series, needs: pd.Series
-        ) -> pd.Series:
-            char_sim = _get_char_sim()
-            table = bc_scorer.value
-
-            def scorer(ch):
-                cands = table.get(ch)
-                if cands is None:
-                    return topn_candidates(ch, topn)
-                return cands
-
-            out = []
-            for t, e, n in zip(text, err_pos, needs):
-                if not n or t is None:
-                    out.append(t)
-                else:
-                    out.append(bert_correct_one(t, e, char_sim, scorer, topn))
-            return pd.Series(out)
-
-    return df.withColumn(
-        out_col, correct_udf(F.col(text_col), F.col("err_pos"), F.col("needs_correction"))
+    """Single-corrector form (one biz route for the whole table).  Adds
+    ``text_corrected``; requires ``err_pos`` + ``needs_correction`` from
+    error detection.  Delegates to the dispatched operator with a
+    constant-route mode column — same kernels, same memo, no duplicated
+    UDF body."""
+    mode = 1 if corrector == "keyword" else 2
+    tmp = df.withColumn(
+        "_corr_mode",
+        F.when(F.col("needs_correction"), F.lit(mode)).otherwise(F.lit(0)),
     )
+    out = with_dispatched_correction(
+        tmp,
+        similarity_threshold=similarity_threshold,
+        topn=topn,
+        keywords=keywords,
+        spark=spark,
+        text_col=text_col,
+        mode_col="_corr_mode",
+        out_col=out_col,
+    )
+    return out.drop("_corr_mode")
