@@ -49,6 +49,7 @@ def main() -> None:
         "err_positions",
         "simhash_neardup_pairs",
         "ann_probe_topk",
+        "ivf_probe_topk",
         "conversation_dedup",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
