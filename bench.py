@@ -169,6 +169,26 @@ def main() -> None:
     for fr in fused_frames:
         fr.unpersist()
 
+    # framed scorer backend (tokenize → frame → context-score per row):
+    # the T11/T12-wired path, priced next to the char-keyed default.
+    # Fresh seeds so neither earlier variant's row memo can serve it.
+    framed_frames = [
+        gen_transcripts(spark, n_convs=n_convs, seed=s + 80).repartition(128).persist()
+        for s in range(seed_base, seed_base + min(2, n_reps))
+    ]
+    for fr in framed_frames:
+        fr.count()
+    framed_reps = []
+    for fr in framed_frames:
+        t0 = time.perf_counter()
+        correct_pipeline(fr, spark, order_output=True, scorer_backend="framed").agg(
+            F.sum(F.length("text_corrected")), F.count(F.lit(1))
+        ).collect()
+        framed_reps.append(time.perf_counter() - t0)
+    timings["flagship_framed"] = round(min(framed_reps), 3)
+    for fr in framed_frames:
+        fr.unpersist()
+
     # --- SQL-analog operators (steady state: warm once, median of 3) ------
     query_names = () if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") else (
         "minhash_buckets",

@@ -126,3 +126,30 @@ def test_layout_roundtrip_preserves_all_text(boxes):
         doc_lines.append(f"P{p} {x * 12.0} {y0} {x * 12.0 + 10.0} {y0 + 5.0} {text}")
     out = extract_layout_content("\n".join(doc_lines))
     assert sorted(out.split("\n")) == sorted(texts)
+
+
+@given(
+    st.text(alphabet=CJK + string.ascii_lowercase + "0123456789，。", max_size=24),
+    st.lists(st.integers(0, 23), max_size=5),
+)
+@settings(max_examples=150, deadline=None)
+def test_framed_scorer_equals_table_scorer(text, errs):
+    """For ANY input (pure CJK, mixed, digits, punctuation) the framed
+    backend with an empty context-bigram table equals the char-keyed
+    scorer: aligned rows score identically by construction, and
+    misaligned rows (multi-char wordpieces) fall back to the char-keyed
+    path explicitly."""
+    from ocr_corrector_spark.functions.correct_kernels import (
+        bert_correct_one_framed,
+    )
+    from ocr_corrector_spark.functions.framed_scorer import FramedTableScorer
+
+    errs = sorted({e for e in errs if e < len(text)})
+    fs = FramedTableScorer(context_bigrams={})
+    per_err = fs.score_sentences([text], [errs])[0]
+    if per_err is None:
+        framed_out = bert_correct_one(text, errs, _char_sim, topn_candidates)
+    else:
+        framed_out = bert_correct_one_framed(text, errs, _char_sim, per_err)
+    table_out = bert_correct_one(text, errs, _char_sim, topn_candidates)
+    assert framed_out == table_out
