@@ -65,11 +65,20 @@ def scorer_table_from_df(df) -> dict[str, list[tuple[str, float]]]:
     }
 
 
+def default_candidates(char: str, topn: int = DEFAULT_TOPN) -> list[tuple[str, float]]:
+    """Identity-dominant default for chars absent from a scorer table (no
+    correction results: identical-candidate skip at bert_corrector.py:64-65,
+    then conf < 0.05 curve rejects).  THE single definition — the framed /
+    fused / dispatched scorers all reference it, and the framed==table and
+    fused==staged equality contracts depend on every path using the same
+    values."""
+    return [(char, 0.99), ("的", 0.004), ("一", 0.003)][:topn]
+
+
 def topn_candidates(char: str, topn: int = DEFAULT_TOPN) -> list[tuple[str, float]]:
-    """Top-n candidates for an observed char.  Unknown chars get an
-    identity-dominant default (no correction results: identical-candidate
-    skip at bert_corrector.py:64-65, then conf < 0.05 curve rejects)."""
+    """Top-n candidates for an observed char from the built-in table, with
+    the identity-dominant default for unknown chars."""
     cands = SCORER_TABLE.get(char)
     if cands is None:
-        cands = [(char, 0.99), ("的", 0.004), ("一", 0.003)]
+        return default_candidates(char, topn)
     return cands[:topn]

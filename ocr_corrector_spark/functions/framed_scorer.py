@@ -111,37 +111,56 @@ class FramedTableScorer:
             padded_rows = []
             for (text, errs), nf in zip(batch, numfree):
                 errs = list(errs)
-                tokens = tokenize(nf, vocab)
-                if len(tokens) != len(nf):
-                    # token/char misalignment (multi-char wordpieces) —
-                    # positional error indices are undefined; signal fallback
+                try:
+                    tokens = tokenize(nf, vocab)
+                    if len(tokens) != len(nf):
+                        # token/char misalignment (multi-char wordpieces) —
+                        # positional error indices are undefined; signal
+                        # fallback to the char-keyed path
+                        padded_rows.append(None)
+                        self.last_frames.append([])
+                        continue
+                    framed, _mask, shifted = frame_sentence(
+                        tokens, errs, self.max_seq_length, self.max_mask
+                    )
+                    self.last_frames.append(framed)
+                    cand_rows = []
+                    for e, p in zip(errs, shifted):
+                        if 0 <= p < min(len(framed), self.max_seq_length):
+                            left = framed[p - 1] if p >= 1 else None
+                            right = framed[p + 1] if p + 1 < len(framed) else None
+                        else:
+                            # position truncated out of the model window:
+                            # context-free scoring — identical to the
+                            # char-keyed backend for this position (the
+                            # production F2 filter rejects texts longer than
+                            # max_seq_length-2, so this is a kernel-level
+                            # parity path, not a hot path)
+                            left = right = None
+                        cand_rows.append(
+                            self._score_position(tokens[e], left, right)
+                        )
+                    # pad to batch width (dense-tensor shape) ...
+                    padded_rows.append(
+                        cand_rows + [[]] * (pad_width - len(cand_rows))
+                    )
+                except Exception:
+                    # per-sentence isolation: any framing/scoring failure
+                    # sends the row to the char-keyed fallback (which has
+                    # its own row-level isolation)
                     padded_rows.append(None)
                     self.last_frames.append([])
-                    continue
-                framed, _mask, shifted = frame_sentence(
-                    tokens, errs, self.max_seq_length, self.max_mask
-                )
-                self.last_frames.append(framed)
-                cand_rows = []
-                for e, p in zip(errs, shifted):
-                    if not (0 <= p < min(len(framed), self.max_seq_length)):
-                        cand_rows.append([])  # truncated past max_seq_length
-                        continue
-                    cand_rows.append(self._score_position(tokens[e], framed, p))
-                # pad to batch width (dense-tensor shape) ...
-                padded_rows.append(cand_rows + [[]] * (pad_width - len(cand_rows)))
             # ... and de-pad on reassembly (masked_lm.py:433-446)
             for (text, errs), row in zip(batch, padded_rows):
                 out.append(None if row is None else row[: len(list(errs))])
         return out
 
-    def _score_position(self, observed: str, framed, p: int):
+    def _score_position(self, observed: str, left: str | None, right: str | None):
+        from ..assets.scorer_table import default_candidates
+
         cands = self.table.get(observed)
         if cands is None:
-            # identity-dominant default (same as scorer_table.topn_candidates)
-            cands = [(observed, 0.99), ("的", 0.004), ("一", 0.003)]
-        left = framed[p - 1] if p >= 1 else None
-        right = framed[p + 1] if p + 1 < len(framed) else None
+            cands = default_candidates(observed)
         scored = []
         for cand, conf in cands:
             boost = self.context_bigrams.get((left, cand), 1.0) * (

@@ -62,15 +62,14 @@ def _get_char_sim() -> CharSim:
 
 
 def _get_kw_kernel(words: tuple):
-    # Content-keyed (cheap: ~100 short strings): id(words) would be fragile
-    # if a broadcast value is garbage-collected and its id reused by a
-    # different word list in the same worker.
-    key = hash(words)
-    hit = _KW_CACHE.get(key)
+    # Content-keyed on the tuple itself (cheap: ~100 short strings) — the
+    # dict hashes it and compares on collision, so unlike id(words) or
+    # hash(words) there is no stale-entry or collision failure mode.
+    hit = _KW_CACHE.get(words)
     if hit is None:
         tree = BKTree(words)
         hit = (tree, frozenset(tree.words))
-        _KW_CACHE[key] = hit
+        _KW_CACHE[words] = hit
     return hit
 
 
@@ -86,8 +85,9 @@ def _get_framed_scorer(config_key, table, bigrams, topn):
     return fs
 
 
-def _table_signature(table: dict) -> int:
-    return hash(tuple(sorted((k, tuple(v)) for k, v in table.items())))
+def _table_signature(table: dict) -> tuple:
+    # the tuple itself (not its hash) keys the caches — collision-proof
+    return tuple(sorted((k, tuple(v)) for k, v in table.items()))
 
 
 def with_dispatched_correction(
@@ -150,10 +150,10 @@ def with_dispatched_correction(
     cache_key = (
         similarity_threshold,
         topn,
-        hash(tuple(keywords)),
+        tuple(keywords),
         scorer_backend,
         _table_signature(table_dict),
-        hash(tuple(sorted(bigrams.items()))),
+        tuple(sorted(bigrams.items())),
     )
 
     @F.pandas_udf(StringType())
@@ -169,27 +169,39 @@ def with_dispatched_correction(
             if cands is None:
                 # identity-dominant default; NOT topn_candidates, which
                 # would leak the built-in table under a custom scorer_table
-                return [(ch, 0.99), ("的", 0.004), ("一", 0.003)][:topn]
+                from ..assets.scorer_table import default_candidates
+
+                return default_candidates(ch, topn)
             return cands
 
         cache = _get_row_cache(cache_key)
         rows = list(zip(text.tolist(), err_pos.tolist(), mode.tolist()))
         if framed:
             # batch-score the uncached bert rows through the framing path
-            # (A1 batching + pad/de-pad inside FramedTableScorer)
-            need = [
-                (i, t, e)
-                for i, (t, e, m) in enumerate(rows)
-                if m == 2 and t is not None and (2, t, tuple(e)) not in cache
-            ]
+            # (A1 batching + pad/de-pad inside FramedTableScorer), deduped
+            # by row key — repetitive boilerplate rows score once
+            need = {}
+            for t, e, m in rows:
+                if m == 2 and t is not None:
+                    key = (2, t, tuple(e))
+                    if key not in cache and key not in need:
+                        need[key] = (t, list(e))
             if need:
                 fs = _get_framed_scorer(cache_key, table, bc_bigrams.value, topn)
-                scored = fs.score_sentences(
-                    [t for _, t, _ in need], [list(e) for _, _, e in need]
-                )
-                for (_, t, e), per_err in zip(need, scored):
+                keys = list(need)
+                try:
+                    scored = fs.score_sentences(
+                        [need[k][0] for k in keys], [need[k][1] for k in keys]
+                    )
+                except Exception:
+                    # batch-level failure (malformed custom table, ...):
+                    # fall back to the char-keyed path per row, which has
+                    # row-level isolation of its own
+                    scored = [None] * len(keys)
+                for key, per_err in zip(keys, scored):
+                    t, e = need[key]
                     if per_err is None:
-                        # token/char misalignment → char-keyed fallback
+                        # misalignment/failure → char-keyed fallback
                         hit = bert_correct_one(t, e, char_sim, scorer, topn)
                     else:
                         hit = bert_correct_one_framed(
@@ -197,7 +209,7 @@ def with_dispatched_correction(
                         )
                     if len(cache) >= _ROW_CACHE_MAX:
                         cache.pop(next(iter(cache)))
-                    cache[(2, t, tuple(e))] = hit
+                    cache[key] = hit
         out = []
         # list iteration beats Series iteration (no per-element numpy boxing)
         for t, e, m in rows:

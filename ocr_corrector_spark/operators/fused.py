@@ -60,8 +60,8 @@ def fused_correct(
     cache_key = (
         similarity_threshold,
         topn,
-        hash(tuple(keywords)),
-        hash(tuple(sorted((k, tuple(v)) for k, v in table_dict.items()))),
+        tuple(keywords),
+        tuple(sorted((k, tuple(v)) for k, v in table_dict.items())),
     )
 
     out_schema = StructType(
@@ -85,8 +85,11 @@ def fused_correct(
         def scorer(ch):
             cands = table.get(ch)
             if cands is None:
-                # identity-dominant default (see operators/correct.py)
-                return [(ch, 0.99), ("的", 0.004), ("一", 0.003)][:topn]
+                # identity-dominant default (single definition — the
+                # fused==staged equality contract depends on it)
+                from ..assets.scorer_table import default_candidates
+
+                return default_candidates(ch, topn)
             return cands
 
         for batch in batches:

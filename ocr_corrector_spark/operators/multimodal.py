@@ -133,7 +133,12 @@ def decode_images(
     failure in ``image.error`` and never fail the task."""
     import numpy as np
 
-    from ..functions.imagecodec import decode_any, encode_ppm, resize_nearest
+    from ..functions.imagecodec import (
+        ImageDecodeError,
+        decode_any,
+        encode_ppm,
+        resize_nearest,
+    )
 
     out_schema = StructType(
         df.schema.fields + [StructField("image", IMAGE_DECODE_SCHEMA)]
@@ -143,26 +148,32 @@ def decode_images(
         from ..functions.imagecodec import sniff_format
 
         fmt = sniff_format(bytes(b)) if b is not None else None
+        # the WHOLE row — decode AND feature extraction — sits inside the
+        # per-row guard: a zero-dimension image (valid header, h or w = 0)
+        # would crash mean/resize, and one corrupt row must never fail the
+        # task (the extraction-stage isolation contract)
         try:
             img = decode_any(bytes(b))
+            if img.size == 0:
+                raise ImageDecodeError("zero-dimension image")
+            mean = img.reshape(-1, img.shape[2]).mean(axis=0)
+            return {
+                "format": fmt,
+                "height": int(img.shape[0]),
+                "width": int(img.shape[1]),
+                "channels": int(img.shape[2]),
+                "mean_rgb": ",".join(f"{v:.2f}" for v in mean),
+                "thumbnail": encode_ppm(
+                    resize_nearest(img, thumb, thumb).astype(np.uint8)
+                ),
+                "error": None,
+            }
         except Exception as exc:
             return {
                 "format": fmt, "height": None, "width": None,
                 "channels": None, "mean_rgb": None, "thumbnail": None,
                 "error": f"{type(exc).__name__}: {exc}",
             }
-        mean = img.reshape(-1, img.shape[2]).mean(axis=0)
-        return {
-            "format": fmt,
-            "height": int(img.shape[0]),
-            "width": int(img.shape[1]),
-            "channels": int(img.shape[2]),
-            "mean_rgb": ",".join(f"{v:.2f}" for v in mean),
-            "thumbnail": encode_ppm(
-                resize_nearest(img, thumb, thumb).astype(np.uint8)
-            ),
-            "error": None,
-        }
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -60,6 +60,12 @@ def main() -> None:
         "score context-aware path (functions/framed_scorer.py)",
     )
     args = ap.parse_args()
+    if args.plan == "fused" and args.scorer_backend != "table":
+        ap.error(
+            "--plan fused supports only --scorer-backend table "
+            "(the fused mapInArrow stage has no framed path); "
+            "use --plan staged for the framed backend"
+        )
 
     from pyspark.sql import SparkSession
 

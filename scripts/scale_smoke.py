@@ -12,9 +12,8 @@ table much larger than the bench inputs, on local[32], and records:
 * the single-execution invariant: the correction UDF saw each row exactly
   once (Spark accumulator), i.e. the audit hook adds ZERO recompute.
 
-Writes BENCH/SCALE_SMOKE.md.  Scale via SMOKE_N_CONVS (default 400k convs
-≈ 13M turns, mirroring the round-1 smoke that previously lived only in a
-commit message).
+Writes BENCH/SCALE_SMOKE.md.  Scale via SMOKE_N_CONVS (default 2M convs
+≈ 13M turns at the generator's ~6.5 turns/conv).
 """
 
 from __future__ import annotations

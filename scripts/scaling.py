@@ -332,11 +332,17 @@ def main() -> None:
         "target": TARGET_EFF,
         "meets_target": bool(selected and selected["raw_efficiency"] >= TARGET_EFF),
     }
-    if full_bench:
-        summary["bench_4N_full"] = run_full_bench(4 * n, sf_dir)
-
+    # write the rounds FIRST — a failure in the optional full bench must
+    # never discard hours of gated-round evidence
     write_artifact(summary)
     write_baseline_md(summary)
+    if full_bench:
+        try:
+            summary["bench_4N_full"] = run_full_bench(4 * n, sf_dir)
+            write_artifact(summary)
+            write_baseline_md(summary)
+        except Exception as exc:
+            print(f"full bench failed (rounds already written): {exc}", file=sys.stderr)
     print(json.dumps(summary))
 
 

@@ -139,16 +139,18 @@ def test_misaligned_tokens_signal_fallback():
     assert scored == [None]
 
 
-def test_truncated_error_position_skipped(char_sim):
-    # error beyond max_seq_length-2 → empty candidate list, row isolated
-    long_text = "错" * 70
-    fs = FramedTableScorer()
-    scored = fs.score_sentences([long_text], [[65]])
-    assert scored[0] == [[]]
-    assert (
-        bert_correct_one_framed(long_text, [65], char_sim, scored[0])
-        == long_text
-    )
+def test_truncated_error_position_scores_context_free(char_sim):
+    # error beyond max_seq_length-2: the position falls out of the model
+    # window, so it is scored context-FREE — identical to the char-keyed
+    # backend (production never reaches this: F2 rejects texts > 62 chars,
+    # but the kernels must stay in parity when called directly)
+    long_text = "的" * 62 + "白愿"
+    fs = FramedTableScorer(context_bigrams={})
+    scored = fs.score_sentences([long_text], [[62]])
+    assert scored[0][0] == topn_candidates("白")
+    framed_out = bert_correct_one_framed(long_text, [62], char_sim, scored[0])
+    table_out = bert_correct_one(long_text, [62], char_sim, topn_candidates)
+    assert framed_out == table_out == "的" * 62 + "自愿"
 
 
 # --- vocab loader (tokenization.py:70-95 shape) -------------------------------

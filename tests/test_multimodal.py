@@ -120,6 +120,7 @@ def test_decode_images_dataframe(spark):
         (2, bytearray(bmp)),
         (3, bytearray(b"\x89PNG\r\n\x1a\nfake")),   # stub format -> error row
         (4, bytearray(b"garbage")),                  # unknown -> error row
+        (5, bytearray(b"P6\n5 0\n255\n")),           # zero-height -> error row, not task crash
     ]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     out = {r.media_id: r.image for r in decode_images(df).collect()}
@@ -134,3 +135,4 @@ def test_decode_images_dataframe(spark):
     assert thumb.shape == (8, 8, 3)
     assert out[3].error is not None and "NotImplementedError" in out[3].error
     assert out[4].error is not None and out[4].height is None
+    assert out[5].error is not None and "zero-dimension" in out[5].error

@@ -129,8 +129,8 @@ def test_layout_roundtrip_preserves_all_text(boxes):
 
 
 @given(
-    st.text(alphabet=CJK + string.ascii_lowercase + "0123456789，。", max_size=24),
-    st.lists(st.integers(0, 23), max_size=5),
+    st.text(alphabet=CJK + string.ascii_lowercase + "0123456789，。", max_size=80),
+    st.lists(st.integers(0, 79), max_size=5),
 )
 @settings(max_examples=150, deadline=None)
 def test_framed_scorer_equals_table_scorer(text, errs):
