@@ -171,3 +171,45 @@ class FramedTableScorer:
         # bigram table reproduces the char-keyed scorer exactly
         scored.sort(key=lambda cp: -cp[1])
         return scored[: self.topn]
+
+
+class MaskedLMScorer:
+    """The real-model backend slot (reference masked_lm.py M1/M2): the
+    SAME ``score_sentences(texts, err_positions)`` contract as
+    FramedTableScorer, backed by an actual masked-LM checkpoint.
+
+    Env-gated: neither a TF/torch runtime nor the reference's external
+    BERT-base-Chinese checkpoint (/root/reference README.md:71) exists in
+    this sandbox, so construction raises NotImplementedError documenting
+    the integration contract.  When a runtime is present, the wiring is:
+    ``load_vocab(vocab_path)`` (tokenizer.py) → per sentence
+    ``tokenize`` + ``frame_sentence`` (identical to FramedTableScorer, so
+    the framing semantics stay pinned by the same tests) → dense
+    ``[batch, max_seq_length]`` input-id/mask tensors → forward pass →
+    gather error positions → top-n softmax → the per-error
+    ``[(token, prob), ...]`` lists this module already returns.  The
+    per-worker lazy-singleton pattern for the session/weights is
+    operators/correct._get_framed_scorer's cache.
+    """
+
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        vocab_path: str,
+        topn: int = 3,
+        max_seq_length: int = 64,
+        batch_size: int = 16,
+    ):
+        try:
+            import tensorflow  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "MaskedLMScorer requires a TF runtime and the reference's "
+                "BERT-base-Chinese checkpoint (external downloads — "
+                "reference README.md:71); in this sandbox the deterministic "
+                "FramedTableScorer is the production backend.  See the class "
+                "docstring for the integration contract."
+            ) from exc
+        raise NotImplementedError(
+            "wire the TF graph per reference masked_lm.py:46-147"
+        )

@@ -23,11 +23,16 @@ from pyspark.sql import functions as F
 from ..plans.pipeline import correct_pipeline
 
 
-def streaming_correct(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def streaming_correct(stream_df: DataFrame, spark: SparkSession, **pipeline_kwargs) -> DataFrame:
     """The batch plan applied to a streaming DataFrame.  ``order_output``
     is off (global sort is undefined on an unbounded stream — downstream
-    sinks cluster by (conv_id, turn_idx) per micro-batch instead)."""
-    return correct_pipeline(stream_df, spark, order_output=False)
+    sinks cluster by (conv_id, turn_idx) per micro-batch instead).
+    ``pipeline_kwargs`` pass through to correct_pipeline — the scorer
+    options (scorer_backend / scorer_table / context_bigrams) work on
+    streams exactly as in batch (the correction stage is stateless)."""
+    return correct_pipeline(
+        stream_df, spark, order_output=False, **pipeline_kwargs
+    )
 
 
 def streaming_metrics(

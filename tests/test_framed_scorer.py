@@ -171,3 +171,12 @@ def test_tokenize_through_loaded_vocab(tmp_path):
     p.write_text("\n".join(["[UNK]", "大", "安", "门"]) + "\n", encoding="utf-8")
     vocab = load_vocab(str(p))
     assert tokenize("大安门X", set(vocab)) == ["大", "安", "门", "[UNK]"]
+
+
+def test_masked_lm_scorer_is_env_gated():
+    # the real-model slot raises with the documented integration contract
+    # when no TF runtime exists (this sandbox)
+    from ocr_corrector_spark.functions.framed_scorer import MaskedLMScorer
+
+    with pytest.raises(NotImplementedError, match="FramedTableScorer"):
+        MaskedLMScorer("/nonexistent/ckpt", "/nonexistent/vocab.txt")
