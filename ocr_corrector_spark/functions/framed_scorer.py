@@ -137,8 +137,14 @@ class FramedTableScorer:
                             # max_seq_length-2, so this is a kernel-level
                             # parity path, not a hot path)
                             left = right = None
+                        # score the digit-translated OBSERVED char (nf[e]),
+                        # exactly what bert_correct_one keys the table with —
+                        # tokens[e] is lowercased/accent-stripped by
+                        # basic_tokenize, so for latin/accented chars it can
+                        # key the scorer table differently and break the
+                        # documented framed==table equality
                         cand_rows.append(
-                            self._score_position(tokens[e], left, right)
+                            self._score_position(nf[e], left, right)
                         )
                     # pad to batch width (dense-tensor shape) ...
                     padded_rows.append(

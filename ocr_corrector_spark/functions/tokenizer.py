@@ -159,20 +159,20 @@ def frame_sentence(
 
 
 def load_vocab(path: str) -> "OrderedDict[str, int]":
-    """vocab.txt loader with the reference's shape
-    (tokenization.py:70-95: one token per line, file order = id order,
-    21,128 tokens for BERT-base-Chinese) → ordered ``token -> id`` dict.
-    Blank lines terminate the file (the reference's readline loop stops at
-    EOF; trailing newline yields one empty token that is skipped)."""
+    """vocab.txt loader with the reference's EXACT shape
+    (tokenization.py:70-82: ``vocab[token.strip()] = line_index`` for every
+    line until EOF, 21,128 tokens for BERT-base-Chinese) → ordered
+    ``token -> id`` dict.  Reference-parity consequences kept on purpose,
+    because the ids must align with a checkpoint's embedding-matrix rows:
+    a blank line maps the empty token to its line index; a duplicate token
+    keeps the LAST line's index (later assignment overwrites), and ids keep
+    advancing — so ids are line numbers, never compacted."""
     from collections import OrderedDict
 
     vocab: "OrderedDict[str, int]" = OrderedDict()
     with open(path, encoding="utf-8") as f:
-        for line in f:
-            token = line.rstrip("\n").strip()
-            if not token or token in vocab:
-                continue
-            vocab[token] = len(vocab)
+        for index, line in enumerate(f):
+            vocab[line.strip()] = index
     return vocab
 
 

@@ -176,6 +176,13 @@ def with_dispatched_correction(
 
         cache = _get_row_cache(cache_key)
         rows = list(zip(text.tolist(), err_pos.tolist(), mode.tolist()))
+        # this batch's framed results, consulted BEFORE the worker-global
+        # cache: FIFO eviction under _ROW_CACHE_MAX pressure can drop keys
+        # scored earlier in the same batch, and falling through to the
+        # char-keyed kernel would silently switch which backend scored the
+        # row — the local dict makes eviction affect only reuse, never
+        # which backend answers
+        local: dict = {}
         if framed:
             # batch-score the uncached bert rows through the framing path
             # (A1 batching + pad/de-pad inside FramedTableScorer), deduped
@@ -207,6 +214,7 @@ def with_dispatched_correction(
                         hit = bert_correct_one_framed(
                             t, e, char_sim, per_err, topn
                         )
+                    local[key] = hit
                     if len(cache) >= _ROW_CACHE_MAX:
                         cache.pop(next(iter(cache)))
                     cache[key] = hit
@@ -217,7 +225,9 @@ def with_dispatched_correction(
                 out.append(t)
                 continue
             key = (m, t, tuple(e))
-            hit = cache.get(key)
+            hit = local.get(key)
+            if hit is None:
+                hit = cache.get(key)
             if hit is None:
                 if m == 1:
                     hit = keyword_correct_one(

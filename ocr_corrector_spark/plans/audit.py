@@ -97,19 +97,41 @@ def biz_rollup(df: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def write_audit(df: DataFrame, run_id: str, audit_path: str) -> None:
+def write_audit(
+    df: DataFrame, run_id: str, audit_path: str, wave=None
+) -> None:
+    """Write lineage + per-biz rollup audit rows.
+
+    ``wave`` (the checkpoint wave's bucket list, plans/checkpoint.py) makes
+    the write idempotent per (run_id, wave): rows land in a wave-keyed
+    partition via DYNAMIC partition overwrite, so a crash between the audit
+    write and the watermark commit cannot double-count — the resumed wave
+    overwrites its own audit partition and the invariant
+    ``out_rows == audit sum(n_rows)`` holds across crash/replay, not just
+    crash-free.  Without ``wave`` (standalone one-shot audits) the write is
+    a plain append."""
     lineage = partition_lineage(df, run_id)
+    rollup = biz_rollup(df, run_id)
+    if wave is None:
+        parts, mode = ["run_id"], "append"
+    else:
+        wave_id = int(min(wave))
+        lineage = lineage.withColumn("wave", F.lit(wave_id))
+        rollup = rollup.withColumn("wave", F.lit(wave_id))
+        parts, mode = ["run_id", "wave"], "overwrite"
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
     (
         lineage.repartition(1)
-        .write.mode("append")
-        .partitionBy("run_id")
+        .write.mode(mode)
+        .partitionBy(*parts)
         .parquet(audit_path)
     )
     (
-        biz_rollup(df, run_id)
-        .repartition(1)
-        .write.mode("append")
-        .partitionBy("run_id")
+        rollup.repartition(1)
+        .write.mode(mode)
+        .partitionBy(*parts)
         .parquet(audit_path.rstrip("/") + "_biz")
     )
 

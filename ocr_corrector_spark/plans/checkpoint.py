@@ -66,7 +66,9 @@ class CheckpointedRun:
         call.  ``transform(df) -> df`` is the correction pipeline.
         ``max_waves`` lets tests simulate a mid-run crash.
 
-        ``post_write(out_df)`` — optional per-wave hook (audit writes).  The
+        ``post_write(out_df, wave)`` — optional per-wave hook (audit
+        writes); ``wave`` is the bucket list, so the hook can key its own
+        writes idempotently per wave (plans/audit.write_audit does).  The
         wave's corrected frame is persisted across the output write and the
         hook, so the expensive correction UDF executes ONCE per wave: the
         write materializes the cache, the hook's actions read it.  (Calling
@@ -100,7 +102,7 @@ class CheckpointedRun:
                     .parquet(self.output_path)
                 )
                 if post_write is not None:
-                    post_write(out)
+                    post_write(out, wave)
             finally:
                 if post_write is not None:
                     out.unpersist()

@@ -119,7 +119,9 @@ def main() -> None:
         spark,
         df,
         transform,
-        post_write=lambda out: write_audit(out, args.run_id, args.audit),
+        post_write=lambda out, wave: write_audit(
+            out, args.run_id, args.audit, wave=wave
+        ),
     )
     print(f"completed {done} buckets (run_id={args.run_id})")
     spark.stop()

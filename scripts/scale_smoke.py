@@ -76,7 +76,7 @@ def main() -> None:
         df,
         transform,
         wave_size=wave_size,
-        post_write=lambda out: write_audit(out, "smoke", audit_path),
+        post_write=lambda out, wave: write_audit(out, "smoke", audit_path, wave=wave),
     )
     wall = time.perf_counter() - t0
 

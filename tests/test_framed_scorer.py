@@ -158,12 +158,15 @@ def test_load_vocab_order_and_inverse(tmp_path):
     p = tmp_path / "vocab.txt"
     p.write_text("[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\n大\n安\n门\n##门\n大\n", encoding="utf-8")
     vocab = load_vocab(str(p))
-    # file order = id order; duplicate 大 keeps first id
+    # reference shape (tokenization.py:70-82): id == line index; the
+    # duplicate 大 at line 9 overwrites line 5's entry (ids never compact,
+    # so every id still aligns with its checkpoint embedding row)
     assert list(vocab)[:5] == ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
-    assert vocab["大"] == 5 and vocab["##门"] == 8
+    assert vocab["大"] == 9 and vocab["##门"] == 8
     assert len(vocab) == 9
     inv = inverse_vocab(vocab)
-    assert inv[5] == "大" and inv[0] == "[PAD]"
+    assert inv[9] == "大" and inv[0] == "[PAD]"
+    assert 5 not in inv  # line 5's id was overwritten by the duplicate
 
 
 def test_tokenize_through_loaded_vocab(tmp_path):

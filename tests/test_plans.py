@@ -120,7 +120,7 @@ def test_correction_executes_once_per_row_with_audit(spark, tmp_path):
         spark,
         df,
         transform,
-        post_write=lambda out: write_audit(out, "acc1", audit_path),
+        post_write=lambda out, wave: write_audit(out, "acc1", audit_path, wave=wave),
     )
     assert done == 4
     # output write + lineage action + biz-rollup action, but the UDF saw
@@ -130,3 +130,54 @@ def test_correction_executes_once_per_row_with_audit(spark, tmp_path):
     assert audit.agg(F.sum("n_rows")).collect()[0][0] == n_rows
     out_rows = spark.read.parquet(run.output_path).count()
     assert out_rows == n_rows
+
+
+def test_audit_wave_replay_idempotent(spark, tmp_path):
+    """Crash between the audit write and the watermark commit (ADVICE r02):
+    the resumed wave re-runs write_audit for the SAME wave — the wave-keyed
+    dynamic partition overwrite must replace, not append, so the invariant
+    out_rows == audit sum(n_rows) survives crash/replay."""
+    df = gen_transcripts(spark, n_convs=20)
+    n_rows = df.count()
+
+    def transform(d):
+        return correct_pipeline(d, spark, order_output=False, keep_mode_col=True)
+
+    run = CheckpointedRun(
+        "replay", str(tmp_path / "out_w"), str(tmp_path / "wm_w"), n_buckets=4
+    )
+    audit_path = str(tmp_path / "audit_w")
+
+    crashed = {}
+
+    def crashy_hook(out, wave):
+        write_audit(out, "replay", audit_path, wave=wave)
+        # simulate a crash AFTER the audit write but BEFORE _commit of the
+        # first wave: raise once so the watermark is never written
+        if not crashed:
+            crashed["wave"] = list(wave)
+            raise RuntimeError("simulated crash between audit and commit")
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run.run(spark, df, transform, wave_size=2, post_write=crashy_hook)
+    # first wave's audit rows exist but its buckets are NOT committed
+    assert len(run.pending_buckets(spark)) == 4
+
+    # resume: the crashed wave re-runs, re-writing the SAME audit partition
+    done = run.run(
+        spark,
+        df,
+        transform,
+        wave_size=2,
+        post_write=lambda out, wave: write_audit(
+            out, "replay", audit_path, wave=wave
+        ),
+    )
+    assert done == 4
+    audit = spark.read.parquet(audit_path)
+    out_rows = spark.read.parquet(run.output_path).count()
+    assert out_rows == n_rows
+    # no double-counted wave: the replayed wave overwrote its partition
+    assert audit.agg(F.sum("n_rows")).collect()[0][0] == n_rows
+    biz = spark.read.parquet(audit_path + "_biz")
+    assert biz.agg(F.sum("n_rows")).collect()[0][0] == n_rows
