@@ -61,8 +61,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": q.q_simhash_neardup_pairs,
         "ann_probe_topk": q.q_ann_probe_topk,
         "ivf_probe_topk": q.q_ivf_probe_topk,
+        "ivf_probe_recall": q.q_ivf_probe_recall,
         "conversation_dedup": q.q_conversation_dedup,
+        "simhash64_neardup_pairs": q.q_simhash64_neardup_pairs,
+        "image_stats": _image_stats,
     }
+
+
+def _image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_corrector_spark.operators.multimodal import q_image_stats
+
+    return q_image_stats(spark, sf_dir)
 
 
 def _simhash_ctes() -> str:
@@ -107,6 +116,55 @@ def _simhash_neardup_sql() -> str:
         WHERE bit_count(xor(sig_a, sig_b)) <= 2
     """
     )
+
+
+def _simhash64_neardup_sql() -> str:
+    """64-bit simhash as two 32-bit halves (hi = md5 hex 1-8, lo = 9-16) —
+    sign-safe: every intermediate fits a positive BIGINT."""
+    hi_sums = ", ".join(
+        f"sum(CASE WHEN (hh & {1 << i}) > 0 THEN 1 ELSE -1 END) AS bh{i}"
+        for i in range(32)
+    )
+    lo_sums = ", ".join(
+        f"sum(CASE WHEN (hl & {1 << i}) > 0 THEN 1 ELSE -1 END) AS bl{i}"
+        for i in range(32)
+    )
+    sig_hi = " + ".join(f"CASE WHEN bh{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    sig_lo = " + ".join(f"CASE WHEN bl{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(32))
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(u.w), 1, 8))::BIGINT AS hh,
+                   ('0x' || substring(md5(u.w), 9, 8))::BIGINT AS hl
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+            WHERE length(u.w) > 0
+        ), s AS (
+            SELECT doc_id, {hi_sums}, {lo_sums} FROM w GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, ({sig_hi})::BIGINT AS sig_hi, ({sig_lo})::BIGINT AS sig_lo
+            FROM s
+        ), banded AS (
+            SELECT doc_id, sig_hi, sig_lo, u.band_id,
+                   CASE u.band_id
+                       WHEN 0 THEN sig_lo & 65535
+                       WHEN 1 THEN (sig_lo >> 16) & 65535
+                       WHEN 2 THEN sig_hi & 65535
+                       ELSE (sig_hi >> 16) & 65535
+                   END AS band_val
+            FROM sig, unnest([0, 1, 2, 3]) AS u(band_id)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig_hi AS hi_a, a.sig_lo AS lo_a,
+                   b.sig_hi AS hi_b, b.sig_lo AS lo_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::INTEGER AS hamming
+        FROM cand
+        WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+    """
 
 
 def _lsh_bucket_sql(col: str = "embedding") -> str:
@@ -475,7 +533,6 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id,
                        string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
                 FROM events
-                WHERE user_id < 300
                 GROUP BY user_id
             ), g AS (
                 SELECT user_id, {ev_ngrams} AS grams FROM seqs
@@ -501,5 +558,86 @@ def oracle_sql() -> dict[str, str]:
                    round(inter::DOUBLE / uni, 4) AS jaccard
             FROM pairs
             WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.3
+        """,
+        "simhash64_neardup_pairs": _simhash64_neardup_sql(),
+        "ivf_probe_recall": """
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding AS c
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, cents.centroid_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             i -> (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE)
+                                  * (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE))), 6) AS l2
+                FROM embeddings e CROSS JOIN cents
+            ), assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rk
+                    FROM scored
+                ) WHERE rk = 1
+            ), q AS (
+                SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ), qc AS (
+                SELECT centroid_id FROM (
+                    SELECT cents.centroid_id,
+                           round(list_sum(list_transform(range(1, 65),
+                                 i -> (q.qv[i]::DOUBLE - cents.c[i]::DOUBLE)
+                                      * (q.qv[i]::DOUBLE - cents.c[i]::DOUBLE))), 6) AS l2
+                    FROM cents CROSS JOIN q
+                ) ORDER BY l2 ASC, centroid_id ASC LIMIT 3
+            ), cand AS (
+                SELECT e.vec_id, e.embedding, q.qv
+                FROM assign a
+                JOIN embeddings e USING (vec_id)
+                CROSS JOIN q
+                WHERE a.centroid_id IN (SELECT centroid_id FROM qc)
+                  AND e.vec_id <> 0
+            ), probe AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id,
+                           round(
+                             list_sum(list_transform(range(1, 65),
+                                      i -> embedding[i]::DOUBLE * qv[i]::DOUBLE))
+                             / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                                * sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))),
+                             6) AS cos_sim
+                    FROM cand
+                ) ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+            ), brute AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id,
+                           round(
+                             list_sum(list_transform(range(1, 65),
+                                      i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+                             / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                                * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))),
+                             6) AS cos_sim
+                    FROM embeddings e CROSS JOIN q
+                    WHERE e.vec_id <> 0
+                ) ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+            )
+            SELECT 3 AS nprobe, 10 AS k, count(*)::INTEGER AS n_hits,
+                   round(count(*) / 10.0, 4) AS recall
+            FROM probe JOIN brute USING (vec_id)
+        """,
+        "image_stats": """
+            WITH px AS (
+                SELECT d.doc_id,
+                       (4 + d.doc_id % 5) AS width,
+                       (3 + d.doc_id % 4) AS height,
+                       x.x, y.y
+                FROM documents d,
+                     LATERAL (SELECT unnest(range(0, 4 + d.doc_id % 5)) AS x) x,
+                     LATERAL (SELECT unnest(range(0, 3 + d.doc_id % 4)) AS y) y
+            )
+            SELECT doc_id,
+                   width::INTEGER AS width,
+                   height::INTEGER AS height,
+                   round(avg((doc_id * 7 + 3 * x + 5 * y) % 256), 6) AS mean_r,
+                   round(avg((doc_id * 7 + 3 * x + 5 * y + 85) % 256), 6) AS mean_g,
+                   round(avg((doc_id * 7 + 3 * x + 5 * y + 170) % 256), 6) AS mean_b
+            FROM px
+            GROUP BY doc_id, width, height
         """,
     }

@@ -184,6 +184,71 @@ def decode_images(
     return df.mapInPandas(decode, out_schema)
 
 
+def q_image_stats(spark, sf_dir: str) -> DataFrame:
+    """Oracle-checkable image-decode query (the driver's CORRECTNESS gate
+    for the multimodal path): every ``documents`` row is rendered as a
+    deterministic P6 PPM image — width ``4 + doc_id % 5``, height
+    ``3 + doc_id % 4``, channel c value ``(doc_id*7 + 3x + 5y + 85c) % 256``
+    — encoded to real PPM bytes, then decoded back through the REAL codec
+    (functions/imagecodec.decode_ppm: header parse + payload reshape), and
+    reduced to per-channel means.  The DuckDB oracle computes the same
+    stats straight from the generator formula (lateral pixel ranges), so a
+    decode bug (stride, channel order, header offset) breaks the hash.
+    Means are exact integer sums divided once in double, identical in both
+    engines."""
+    from pyspark.sql.types import DoubleType
+
+    from ..functions.imagecodec import decode_ppm, encode_ppm
+    from ..sources.tables import load_table
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mean_r", DoubleType()),
+            StructField("mean_g", DoubleType()),
+            StructField("mean_b", DoubleType()),
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].tolist():
+                w = 4 + doc_id % 5
+                h = 3 + doc_id % 4
+                y, x = np.mgrid[0:h, 0:w]
+                base = (doc_id * 7 + 3 * x + 5 * y) % 256
+                img = np.stack(
+                    [(base + 85 * c) % 256 for c in range(3)], axis=-1
+                ).astype(np.uint8)
+                # encode → REAL decode round trip: the decoded array, not
+                # the generator's, feeds the stats
+                arr = decode_ppm(encode_ppm(img))
+                sums = arr.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n = arr.shape[0] * arr.shape[1]
+                rows.append(
+                    (
+                        doc_id,
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        round(sums[0] / n, 6),
+                        round(sums[1] / n, 6),
+                        round(sums[2] / n, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return docs.mapInPandas(stats, out_schema)
+
+
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Compressed-format decode (JPEG/PNG) requires Pillow — env-gated
     stub; ``decode_images`` above is the REAL path for library-free

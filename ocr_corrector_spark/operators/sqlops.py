@@ -388,6 +388,115 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
 
 
+# --- dedup: 64-bit SimHash (scale-hardened band width) --------------------------------------
+SIMHASH64_BAND_BITS = 16
+SIMHASH64_BANDS = 4  # 4 bands x 16 bits over the 64-bit signature
+SIMHASH64_HAMMING_MAX = 3  # pigeonhole: <=3 differing bits ⇒ some band agrees
+
+
+def _simhash64_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig_hi, sig_lo) — 64-bit SimHash as two unsigned 32-bit
+    halves.  Two halves, not one long: +(1<<63) overflows a signed BIGINT
+    literal in DuckDB (the oracle engine), and every bit test / band
+    extraction / xor-popcount works identically on the halves, so the
+    representation is sign-safe in both engines by construction."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    # 64-bit word hash = first 16 hex chars of md5, split into two 32-bit
+    # halves (hi = hex chars 1-8, lo = 9-16): both parse to positive longs
+    hi = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long")
+    words = words.select("doc_id", hi.alias("hh"), lo.alias("hl"))
+    sums = words.groupBy("doc_id").agg(
+        *(
+            [
+                F.sum(
+                    F.when(F.col("hh").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+                ).alias(f"bh{i}")
+                for i in range(32)
+            ]
+            + [
+                F.sum(
+                    F.when(F.col("hl").bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(-1)
+                ).alias(f"bl{i}")
+                for i in range(32)
+            ]
+        )
+    )
+
+    def pack(prefix: str):
+        sig = None
+        for i in range(32):
+            term = F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        return sig.cast("long")
+
+    return sums.select(
+        "doc_id", pack("bh").alias("sig_hi"), pack("bl").alias("sig_lo")
+    )
+
+
+def q_simhash64_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs — the width the 32-bit
+    q_simhash_neardup_pairs docstring flags as too coarse past ~10^8 docs.
+    4 x 16-bit bands (Manku et al., WWW'07 shape): docs agreeing on ANY
+    band become candidates via an equi-join on (band_id, band_val); exact
+    Hamming distance (bit_count of xor, summed over the two 32-bit halves)
+    verifies candidates only.  Pigeonhole: a pair within hamming <= 3
+    agrees on >= 1 of the 4 bands, so banding has ZERO recall loss at this
+    threshold.
+
+    Bucket-population math: a 16-bit band has 65,536 distinct values, so a
+    uniform corpus puts ~n/2^16 docs in a bucket — at 10^9 docs that is
+    ~15k docs/bucket and ~10^8 within-bucket comparisons per band value
+    (vs ~4M docs/bucket at the 8-bit width: 256x cheaper here, but still
+    quadratic-in-bucket).  Past ~10^9 docs, widen further: more/wider
+    bands over a 128-bit signature, or Manku's sorted permuted-table
+    prefix scan, which replaces the equi-join with a range scan."""
+    sigs = _simhash64_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "sig_hi",
+        "sig_lo",
+        F.posexplode(
+            F.array(
+                F.col("sig_lo").bitwiseAND(F.lit(65535)),
+                F.shiftright(F.col("sig_lo"), 16).bitwiseAND(F.lit(65535)),
+                F.col("sig_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright(F.col("sig_hi"), 16).bitwiseAND(F.lit(65535)),
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig_hi").alias("hi_a"),
+            F.col("a.sig_lo").alias("lo_a"),
+            F.col("b.sig_hi").alias("hi_b"),
+            F.col("b.sig_lo").alias("lo_b"),
+        )
+        .distinct()  # a pair may agree on several bands
+    )
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH64_HAMMING_MAX)
+
+
 # --- similarity: embedding cosine near-dup pairs -------------------------------------------
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force over a bounded id
@@ -620,6 +729,78 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
 
 
+IVF_NPROBE = 3
+
+
+def q_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe (nprobe=3) + measured recall@10: probe the query's
+    3 nearest centroids' inverted lists, take the exact-cosine top-10 of
+    the probed candidates, and report what fraction of the brute-force
+    top-10 (q_cosine_topk) the probe recovered.  Cost/recall tradeoff: the
+    probe scans ~|table| * nprobe / K vectors (3/8 of the table at this
+    toy K; at a real K of 4096 with nprobe 32, <1% of the table), and
+    recall@10 is the dial — nprobe=K degenerates to exact brute force at
+    recall 1.0.  Both top-10s use the same (cos desc, vec_id) tie-break,
+    so the recall number is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    # the query's NPROBE nearest centroids (tiny: K rows, broadcast)
+    l2q = F.round(
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    probe_cents = (
+        cents.crossJoin(F.broadcast(qvec))
+        .select("centroid_id", l2q.alias("l2"))
+        .orderBy(F.asc("l2"), F.asc("centroid_id"))
+        .limit(IVF_NPROBE)
+        .select("centroid_id")
+    )
+    cand = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(probe_cents), "centroid_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+    )
+    cos = dot(F.col("v"), F.col("q")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("q"), F.col("q")))
+    )
+    probe_topk = (
+        cand.select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    brute_topk = q_cosine_topk(spark, sf_dir).select("vec_id")
+    # recall as a declarative aggregate — no driver-side action
+    return (
+        probe_topk.join(brute_topk, "vec_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .select(
+            F.lit(IVF_NPROBE).alias("nprobe"),
+            F.lit(10).alias("k"),
+            F.col("_hits").cast("int").alias("n_hits"),
+            F.round(F.col("_hits") / 10.0, 4).alias("recall"),
+        )
+    )
+
+
 # --- extraction-stage analogs (S5/driver-mandated extraction) --------------------------
 def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Main-content HTML extraction exercised through the REAL kernel: each
@@ -663,8 +844,11 @@ def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3) 4-seed MinHash full-signature banding proposes candidate pairs
     (equi-join on the band key); (4) exact Jaccard over the shingle sets
     verifies candidates at >= 0.3.  No stage is all-pairs; conversations
-    with near-identical event flows land in one bucket by construction."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    with near-identical event flows land in one bucket by construction.
+    UNBOUNDED input — the full events table: banding bounds the candidate
+    work (full-signature band key ⇒ only near-identical sequences share a
+    bucket), so no user_id cap is needed at any scale."""
+    ev = load_table(spark, sf_dir, "events")
     payload = F.struct("ts", "event_id", "event_type")
     stage1 = (
         ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
