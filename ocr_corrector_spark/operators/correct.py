@@ -90,6 +90,36 @@ def _table_signature(table: dict) -> tuple:
     return tuple(sorted((k, tuple(v)) for k, v in table.items()))
 
 
+def framed_score_rows(
+    need: dict, cache_key, table, bigrams, topn, char_sim, scorer
+) -> dict:
+    """Score ``{row_key: (text, errs)}`` through the framed backend
+    (tokenize → frame → batch score, functions/framed_scorer.py) with
+    row-level fallback to the char-keyed kernel on misalignment/failure.
+    Returns ``{row_key: corrected_text}``.  Shared by the staged UDF and
+    the fused mapInArrow stage so both plans score through the identical
+    path (the fused==staged equality contract)."""
+    fs = _get_framed_scorer(cache_key, table, bigrams, topn)
+    keys = list(need)
+    try:
+        scored = fs.score_sentences(
+            [need[k][0] for k in keys], [need[k][1] for k in keys]
+        )
+    except Exception:
+        # batch-level failure (malformed custom table, ...): fall back to
+        # the char-keyed path per row, which has row-level isolation
+        scored = [None] * len(keys)
+    out = {}
+    for key, per_err in zip(keys, scored):
+        t, e = need[key]
+        if per_err is None:
+            # misalignment/failure → char-keyed fallback
+            out[key] = bert_correct_one(t, e, char_sim, scorer, topn)
+        else:
+            out[key] = bert_correct_one_framed(t, e, char_sim, per_err, topn)
+    return out
+
+
 def with_dispatched_correction(
     df: DataFrame,
     similarity_threshold: float = 0.55,
@@ -194,27 +224,11 @@ def with_dispatched_correction(
                     if key not in cache and key not in need:
                         need[key] = (t, list(e))
             if need:
-                fs = _get_framed_scorer(cache_key, table, bc_bigrams.value, topn)
-                keys = list(need)
-                try:
-                    scored = fs.score_sentences(
-                        [need[k][0] for k in keys], [need[k][1] for k in keys]
-                    )
-                except Exception:
-                    # batch-level failure (malformed custom table, ...):
-                    # fall back to the char-keyed path per row, which has
-                    # row-level isolation of its own
-                    scored = [None] * len(keys)
-                for key, per_err in zip(keys, scored):
-                    t, e = need[key]
-                    if per_err is None:
-                        # misalignment/failure → char-keyed fallback
-                        hit = bert_correct_one(t, e, char_sim, scorer, topn)
-                    else:
-                        hit = bert_correct_one_framed(
-                            t, e, char_sim, per_err, topn
-                        )
-                    local[key] = hit
+                local = framed_score_rows(
+                    need, cache_key, table, bc_bigrams.value, topn,
+                    char_sim, scorer,
+                )
+                for key, hit in local.items():
                     if len(cache) >= _ROW_CACHE_MAX:
                         cache.pop(next(iter(cache)))
                     cache[key] = hit

@@ -33,7 +33,13 @@ from ..functions.rules import (
     do_correct_filter_keyword,
     find_err_pos_by_prob,
 )
-from .correct import _get_char_sim, _get_kw_kernel, _get_row_cache
+from .correct import (
+    _get_char_sim,
+    _get_kw_kernel,
+    _get_row_cache,
+    _table_signature,
+    framed_score_rows,
+)
 from .extract import extract_any
 
 
@@ -48,20 +54,43 @@ def fused_correct(
     topn: int = 3,
     keywords=KEYWORDS,
     scorer_table: dict | None = None,
+    scorer_backend: str = "table",
+    context_bigrams: dict | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` (and rewrites ``text_col`` with extracted text) in
     a single mapInArrow stage.  ``scorer_table`` overrides the built-in
     confusion table (e.g. an offline-trained table via
-    assets/scorer_table.scorer_table_from_df)."""
+    assets/scorer_table.scorer_table_from_df).  ``scorer_backend`` selects
+    the char-keyed ``"table"`` scorer or the tokenize→frame→score
+    ``"framed"`` path — the framed batch runs through the SAME
+    framed_score_rows helper as the staged plan, so fused-framed ==
+    staged-framed per turn (tests/test_fused.py)."""
     spark = spark or SparkSession.getActiveSession()
     bc_words = spark.sparkContext.broadcast(tuple(keywords))
     table_dict = dict(SCORER_TABLE) if scorer_table is None else dict(scorer_table)
     bc_scorer = spark.sparkContext.broadcast(table_dict)
+    framed = scorer_backend == "framed"
+    if framed:
+        from ..functions.framed_scorer import DEFAULT_CONTEXT_BIGRAMS
+
+        bigrams = (
+            dict(DEFAULT_CONTEXT_BIGRAMS)
+            if context_bigrams is None
+            else dict(context_bigrams)
+        )
+    else:
+        bigrams = {}
+    bc_bigrams = spark.sparkContext.broadcast(bigrams)
+    # same key shape as the staged operator, so a worker running both plans
+    # with identical config shares one row memo (identical semantics by the
+    # fused==staged contract)
     cache_key = (
         similarity_threshold,
         topn,
         tuple(keywords),
-        tuple(sorted((k, tuple(v)) for k, v in table_dict.items())),
+        scorer_backend,
+        _table_signature(table_dict),
+        tuple(sorted(bigrams.items())),
     )
 
     out_schema = StructType(
@@ -96,12 +125,13 @@ def fused_correct(
             texts = batch.column(text_col).to_pylist()
             probs = batch.column("probs").to_pylist()
             bizes = batch.column(biz_col).to_pylist()
-            extracted, corrected = [], []
+            # pass 1: extraction + detection + dispatch per row
+            extracted, plan = [], []
             for text, prob, biz in zip(texts, probs, bizes):
                 text = extract_any(text)
                 extracted.append(text)
                 if text is None:
-                    corrected.append(text)
+                    plan.append((None, 0, None))
                     continue
                 is_report = biz == "report"
                 eligible = (
@@ -110,20 +140,48 @@ def fused_correct(
                     else do_correct_filter_bert(text)
                 )
                 if not eligible:
-                    corrected.append(text)
+                    plan.append((text, 0, None))
                     continue
                 if prob is None:
                     err = list(range(len(text)))
                 else:
                     err = find_err_pos_by_prob(list(prob), prob_threshold)
                 if not err:
+                    plan.append((text, 0, None))
+                    continue
+                plan.append((text, 1 if is_report else 2, err))
+            # framed pre-scoring of this batch's uncached bert rows (same
+            # batch-local-dict discipline as the staged UDF: eviction can
+            # never switch which backend scored a row)
+            local: dict = {}
+            if framed:
+                need = {}
+                for text, mode, err in plan:
+                    if mode == 2:
+                        key = (2, text, tuple(err))
+                        if key not in cache and key not in need:
+                            need[key] = (text, list(err))
+                if need:
+                    local = framed_score_rows(
+                        need, cache_key, table, bc_bigrams.value, topn,
+                        char_sim, scorer,
+                    )
+                    for key, hit in local.items():
+                        if len(cache) >= 200_000:
+                            cache.pop(next(iter(cache)))
+                        cache[key] = hit
+            # pass 2: assemble corrected column
+            corrected = []
+            for text, mode, err in plan:
+                if mode == 0:
                     corrected.append(text)
                     continue
-                mode = 1 if is_report else 2
                 key = (mode, text, tuple(err))
-                hit = cache.get(key)
+                hit = local.get(key)
                 if hit is None:
-                    if is_report:
+                    hit = cache.get(key)
+                if hit is None:
+                    if mode == 1:
                         hit = keyword_correct_one(
                             text, err, tree, kwset, char_sim, similarity_threshold
                         )

@@ -60,12 +60,6 @@ def main() -> None:
         "score context-aware path (functions/framed_scorer.py)",
     )
     args = ap.parse_args()
-    if args.plan == "fused" and args.scorer_backend != "table":
-        ap.error(
-            "--plan fused supports only --scorer-backend table "
-            "(the fused mapInArrow stage has no framed path); "
-            "use --plan staged for the framed backend"
-        )
 
     from pyspark.sql import SparkSession
 
@@ -103,7 +97,12 @@ def main() -> None:
             # the mapInArrow stage an extra time per action.  mapInArrow is
             # narrow/order-preserving, so sorted input stays sorted —
             # matching the staged plan's layout (plans/pipeline.py).
-            return fused_correct(order_turns(d), spark, scorer_table=scorer_table)
+            return fused_correct(
+                order_turns(d),
+                spark,
+                scorer_table=scorer_table,
+                scorer_backend=args.scorer_backend,
+            )
         return correct_pipeline(
             d,
             spark,

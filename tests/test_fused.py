@@ -67,3 +67,44 @@ def test_fused_corrects_and_extracts(spark):
     # keyword-path rows whose designed correction applies must reach clean
     designed = wrong.filter(F.col("text_noisy").isin("宋还本全", "数期大", "术还本金"))
     assert designed.count() == 0
+
+
+def test_fused_framed_equals_staged_framed(spark):
+    """--plan fused --scorer-backend framed (VERDICT r02 #3): the fused
+    mapInArrow stage scores through the same framed_score_rows helper as
+    the staged plan, so per-turn output must be identical — including rows
+    where the context bigram re-ranks candidates away from the char-keyed
+    table result (大阳 → 太阳 via the (太, 阳) bigram)."""
+    import datetime as dt
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, probs array<double>"
+    )
+    t = dt.datetime(2026, 1, 1)
+    ctx_rows = spark.createDataFrame(
+        [
+            # context-bigram row: framed corrects 大→太 (太阳), table picks 天
+            ("ctx", 0, "user", "大阳高照呀", "doc", t, [0.5, 1.0, 1.0, 1.0, 1.0]),
+            # no-context row: framed == table (大安门 → 天安门)
+            ("ctx", 1, "user", "大安门广场", "doc", t, [0.5, 1.0, 1.0, 1.0, 1.0]),
+        ],
+        schema,
+    )
+    df = gen_transcripts(spark, n_convs=120).unionByName(ctx_rows)
+    staged = (
+        correct_pipeline(df, spark, order_output=False, scorer_backend="framed")
+        .select("conv_id", "turn_idx", "text", "text_corrected")
+        .collect()
+    )
+    fused = (
+        fused_correct(df, spark, scorer_backend="framed")
+        .select("conv_id", "turn_idx", "text", "text_corrected")
+        .collect()
+    )
+    key = lambda r: (r.conv_id, r.turn_idx)
+    assert sorted(staged, key=key) == sorted(fused, key=key)
+    by_key = {key(r): r.text_corrected for r in fused}
+    # the framed path's context evidence actually fired in the fused plan
+    assert by_key[("ctx", 0)] == "太阳高照呀"
+    assert by_key[("ctx", 1)] == "天安门广场"
