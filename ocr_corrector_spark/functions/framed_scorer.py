@@ -180,14 +180,18 @@ class FramedTableScorer:
 
 
 class MaskedLMScorer:
-    """The real-model backend slot (reference masked_lm.py M1/M2): the
+    """The TF-checkpoint backend slot (reference masked_lm.py M1/M2): the
     SAME ``score_sentences(texts, err_positions)`` contract as
-    FramedTableScorer, backed by an actual masked-LM checkpoint.
+    FramedTableScorer, backed by the reference's TF1 BERT checkpoint.
 
-    Env-gated: neither a TF/torch runtime nor the reference's external
-    BERT-base-Chinese checkpoint (/root/reference README.md:71) exists in
-    this sandbox, so construction raises NotImplementedError documenting
-    the integration contract.  When a runtime is present, the wiring is:
+    NOTE: real masked-LM semantics — checkpoint load, forward pass, top-k
+    at masked positions — ship TODAY in functions/numpy_lm.NumpyLMScorer
+    (``scorer_backend="lm"``), a committed pure-numpy model; THIS class is
+    only the slot for the reference's original 400MB TF checkpoint.
+    Env-gated: neither a TF/torch runtime nor that external checkpoint
+    (/root/reference README.md:71) exists in this sandbox, so construction
+    raises NotImplementedError documenting the integration contract.  When
+    a runtime is present, the wiring is:
     ``load_vocab(vocab_path)`` (tokenizer.py) → per sentence
     ``tokenize`` + ``frame_sentence`` (identical to FramedTableScorer, so
     the framing semantics stay pinned by the same tests) → dense

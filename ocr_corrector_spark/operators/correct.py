@@ -90,16 +90,30 @@ def _table_signature(table: dict) -> tuple:
     return tuple(sorted((k, tuple(v)) for k, v in table.items()))
 
 
+def _get_lm_scorer(checkpoint_path: str, topn: int):
+    """Per-worker lazy singleton for the numpy masked-LM backend — the
+    checkpoint loads ONCE per Python worker process (the reference's
+    per-session checkpoint load, masked_lm.py:386-398, as an
+    executor-side cache)."""
+    key = ("lm", checkpoint_path, topn)
+    fs = _FRAMED_CACHE.get(key)
+    if fs is None:
+        from ..functions.numpy_lm import NumpyLMScorer
+
+        fs = NumpyLMScorer(checkpoint_path=checkpoint_path, topn=topn)
+        _FRAMED_CACHE[key] = fs
+    return fs
+
+
 def framed_score_rows(
-    need: dict, cache_key, table, bigrams, topn, char_sim, scorer
+    need: dict, fs, topn, char_sim, scorer
 ) -> dict:
-    """Score ``{row_key: (text, errs)}`` through the framed backend
-    (tokenize → frame → batch score, functions/framed_scorer.py) with
-    row-level fallback to the char-keyed kernel on misalignment/failure.
-    Returns ``{row_key: corrected_text}``.  Shared by the staged UDF and
-    the fused mapInArrow stage so both plans score through the identical
-    path (the fused==staged equality contract)."""
-    fs = _get_framed_scorer(cache_key, table, bigrams, topn)
+    """Score ``{row_key: (text, errs)}`` through a batch scorer ``fs``
+    (FramedTableScorer or NumpyLMScorer — the tokenize → frame → batch
+    score contract) with row-level fallback to the char-keyed kernel on
+    misalignment/failure.  Returns ``{row_key: corrected_text}``.  Shared
+    by the staged UDF and the fused mapInArrow stage so both plans score
+    through the identical path (the fused==staged equality contract)."""
     keys = list(need)
     try:
         scored = fs.score_sentences(
@@ -133,6 +147,7 @@ def with_dispatched_correction(
     scorer_backend: str = "table",
     scorer_table: dict | None = None,
     context_bigrams: dict | None = None,
+    lm_checkpoint: str | None = None,
 ) -> DataFrame:
     """Single-pass correction with per-row corrector dispatch.
 
@@ -145,11 +160,16 @@ def with_dispatched_correction(
     batch size per invocation — tests use it to assert the expensive stage
     executes exactly once per row per job (no recompute from extra actions).
 
-    ``scorer_backend``: ``"table"`` (char-keyed confusion table, default)
-    or ``"framed"`` (functions/framed_scorer.py — tokenize → frame → score
-    through the reference's batch contract, context-bigram aware).  Both
-    are deterministic; with an empty bigram table they are equal by
-    construction (tests/test_framed_scorer.py).
+    ``scorer_backend``: ``"table"`` (char-keyed confusion table, default),
+    ``"framed"`` (functions/framed_scorer.py — tokenize → frame → score
+    through the reference's batch contract, context-bigram aware), or
+    ``"lm"`` (functions/numpy_lm.py — the committed pure-numpy masked LM:
+    real checkpoint load + forward pass + top-k at the masked positions).
+    All are deterministic; framed with an empty bigram table equals table
+    by construction (tests/test_framed_scorer.py).
+
+    ``lm_checkpoint``: ``.npz`` path for the ``lm`` backend (default: the
+    committed assets/numpy_lm.npz).
 
     ``scorer_table``: override the built-in SCORER_TABLE with a plain dict
     ``char -> [(candidate, confidence), ...]`` — e.g. the output of the
@@ -160,8 +180,8 @@ def with_dispatched_correction(
     bc_words = spark.sparkContext.broadcast(tuple(keywords))
     table_dict = dict(SCORER_TABLE) if scorer_table is None else dict(scorer_table)
     bc_scorer = spark.sparkContext.broadcast(table_dict)
-    framed = scorer_backend == "framed"
-    if framed:
+    batched_backend = scorer_backend in ("framed", "lm")
+    if scorer_backend == "framed":
         from ..functions.framed_scorer import DEFAULT_CONTEXT_BIGRAMS
 
         bigrams = (
@@ -172,6 +192,10 @@ def with_dispatched_correction(
     else:
         bigrams = {}
     bc_bigrams = spark.sparkContext.broadcast(bigrams)
+    if scorer_backend == "lm" and lm_checkpoint is None:
+        from ..functions.numpy_lm import DEFAULT_CHECKPOINT
+
+        lm_checkpoint = DEFAULT_CHECKPOINT
     # Memo config signature: correction is a pure function of (mode, text,
     # err_pos) GIVEN the dictionaries/thresholds/backend, and OCR'd
     # transcript segments are highly repetitive (form labels, boilerplate
@@ -184,6 +208,7 @@ def with_dispatched_correction(
         scorer_backend,
         _table_signature(table_dict),
         tuple(sorted(bigrams.items())),
+        lm_checkpoint,
     )
 
     @F.pandas_udf(StringType())
@@ -213,9 +238,9 @@ def with_dispatched_correction(
         # row — the local dict makes eviction affect only reuse, never
         # which backend answers
         local: dict = {}
-        if framed:
+        if batched_backend:
             # batch-score the uncached bert rows through the framing path
-            # (A1 batching + pad/de-pad inside FramedTableScorer), deduped
+            # (A1 batching + pad/de-pad inside the batch scorer), deduped
             # by row key — repetitive boilerplate rows score once
             need = {}
             for t, e, m in rows:
@@ -224,10 +249,13 @@ def with_dispatched_correction(
                     if key not in cache and key not in need:
                         need[key] = (t, list(e))
             if need:
-                local = framed_score_rows(
-                    need, cache_key, table, bc_bigrams.value, topn,
-                    char_sim, scorer,
-                )
+                if scorer_backend == "lm":
+                    fs = _get_lm_scorer(lm_checkpoint, topn)
+                else:
+                    fs = _get_framed_scorer(
+                        cache_key, table, bc_bigrams.value, topn
+                    )
+                local = framed_score_rows(need, fs, topn, char_sim, scorer)
                 for key, hit in local.items():
                     if len(cache) >= _ROW_CACHE_MAX:
                         cache.pop(next(iter(cache)))

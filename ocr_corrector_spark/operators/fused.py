@@ -35,7 +35,9 @@ from ..functions.rules import (
 )
 from .correct import (
     _get_char_sim,
+    _get_framed_scorer,
     _get_kw_kernel,
+    _get_lm_scorer,
     _get_row_cache,
     _table_signature,
     framed_score_rows,
@@ -56,6 +58,7 @@ def fused_correct(
     scorer_table: dict | None = None,
     scorer_backend: str = "table",
     context_bigrams: dict | None = None,
+    lm_checkpoint: str | None = None,
 ) -> DataFrame:
     """Adds ``out_col`` (and rewrites ``text_col`` with extracted text) in
     a single mapInArrow stage.  ``scorer_table`` overrides the built-in
@@ -69,8 +72,8 @@ def fused_correct(
     bc_words = spark.sparkContext.broadcast(tuple(keywords))
     table_dict = dict(SCORER_TABLE) if scorer_table is None else dict(scorer_table)
     bc_scorer = spark.sparkContext.broadcast(table_dict)
-    framed = scorer_backend == "framed"
-    if framed:
+    batched_backend = scorer_backend in ("framed", "lm")
+    if scorer_backend == "framed":
         from ..functions.framed_scorer import DEFAULT_CONTEXT_BIGRAMS
 
         bigrams = (
@@ -81,6 +84,10 @@ def fused_correct(
     else:
         bigrams = {}
     bc_bigrams = spark.sparkContext.broadcast(bigrams)
+    if scorer_backend == "lm" and lm_checkpoint is None:
+        from ..functions.numpy_lm import DEFAULT_CHECKPOINT
+
+        lm_checkpoint = DEFAULT_CHECKPOINT
     # same key shape as the staged operator, so a worker running both plans
     # with identical config shares one row memo (identical semantics by the
     # fused==staged contract)
@@ -91,6 +98,7 @@ def fused_correct(
         scorer_backend,
         _table_signature(table_dict),
         tuple(sorted(bigrams.items())),
+        lm_checkpoint,
     )
 
     out_schema = StructType(
@@ -154,7 +162,7 @@ def fused_correct(
             # batch-local-dict discipline as the staged UDF: eviction can
             # never switch which backend scored a row)
             local: dict = {}
-            if framed:
+            if batched_backend:
                 need = {}
                 for text, mode, err in plan:
                     if mode == 2:
@@ -162,10 +170,13 @@ def fused_correct(
                         if key not in cache and key not in need:
                             need[key] = (text, list(err))
                 if need:
-                    local = framed_score_rows(
-                        need, cache_key, table, bc_bigrams.value, topn,
-                        char_sim, scorer,
-                    )
+                    if scorer_backend == "lm":
+                        fs = _get_lm_scorer(lm_checkpoint, topn)
+                    else:
+                        fs = _get_framed_scorer(
+                            cache_key, table, bc_bigrams.value, topn
+                        )
+                    local = framed_score_rows(need, fs, topn, char_sim, scorer)
                     for key, hit in local.items():
                         if len(cache) >= 200_000:
                             cache.pop(next(iter(cache)))

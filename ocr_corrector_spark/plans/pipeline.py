@@ -46,14 +46,17 @@ def correct_pipeline(
     scorer_backend: str = "table",
     scorer_table: dict | None = None,
     context_bigrams: dict | None = None,
+    lm_checkpoint: str | None = None,
 ) -> DataFrame:
     """Adds ``text_corrected`` (+ ``text`` rewritten by extraction).
 
-    ``scorer_backend``/``scorer_table``/``context_bigrams`` select the
-    masked-LM stand-in (operators/correct.with_dispatched_correction):
-    the char-keyed table (default), an offline-trained table
-    (assets/scorer_table.scorer_table_from_df), or the context-aware
-    framed path (functions/framed_scorer.py)."""
+    ``scorer_backend``/``scorer_table``/``context_bigrams``/
+    ``lm_checkpoint`` select the masked-LM backend
+    (operators/correct.with_dispatched_correction): the char-keyed table
+    (default), an offline-trained table
+    (assets/scorer_table.scorer_table_from_df), the context-aware framed
+    path (functions/framed_scorer.py), or the committed pure-numpy masked
+    LM (functions/numpy_lm.py)."""
     if order_output:
         df = order_turns(df)
     if extract_html:
@@ -78,6 +81,7 @@ def correct_pipeline(
         scorer_backend=scorer_backend,
         scorer_table=scorer_table,
         context_bigrams=context_bigrams,
+        lm_checkpoint=lm_checkpoint,
     )
     if keep_mode_col:
         return out.drop("err_pos")

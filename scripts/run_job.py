@@ -54,10 +54,12 @@ def main() -> None:
     )
     ap.add_argument(
         "--scorer-backend",
-        choices=("table", "framed"),
+        choices=("table", "framed", "lm"),
         default="table",
-        help="masked-LM stand-in: char-keyed table, or the tokenize→frame→"
-        "score context-aware path (functions/framed_scorer.py)",
+        help="masked-LM backend: char-keyed table, the tokenize→frame→"
+        "score context-aware path (functions/framed_scorer.py), or the "
+        "committed pure-numpy masked LM (functions/numpy_lm.py — real "
+        "checkpoint load + forward pass + top-k)",
     )
     args = ap.parse_args()
 
