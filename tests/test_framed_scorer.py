@@ -7,6 +7,8 @@ and digit-translates the model input (masked_lm.py:251-302 semantics), the
 empty-bigram backend equals the char-keyed table scorer, and a context
 bigram re-ranks candidates in a way the char-keyed scorer cannot."""
 
+import os
+
 import pytest
 
 from ocr_corrector_spark.assets.char_meta import build_char_meta
@@ -183,3 +185,48 @@ def test_masked_lm_scorer_is_env_gated():
 
     with pytest.raises(NotImplementedError, match="FramedTableScorer"):
         MaskedLMScorer("/nonexistent/ckpt", "/nonexistent/vocab.txt")
+
+
+# --- committed real-vocab WordPiece fixture (VERDICT r02 #9) -------------------
+FIXTURE_VOCAB = os.path.join(os.path.dirname(__file__), "fixtures", "mini_vocab.txt")
+
+
+def test_wordpiece_vocab_multi_char_pieces():
+    """With a real vocab.txt containing multi-char wordpieces, tokenization
+    does NOT degenerate to char-split: latin words merge into pieces."""
+    vocab = load_vocab(FIXTURE_VOCAB)
+    assert vocab["settle"] == 6 and vocab["##ment"] == 7  # line-index ids
+    toks = tokenize("settlement还本金", set(vocab))
+    assert toks == ["settle", "##ment", "还", "本", "金"]
+
+
+def test_wordpiece_misalignment_falls_back_to_char_keyed(char_sim):
+    """Multi-char pieces break the 1:1 token/char alignment, so the framed
+    scorer signals None (framed_scorer.py misalignment path) and
+    framed_score_rows falls back to the char-keyed kernel — same final
+    correction as the table backend."""
+    from ocr_corrector_spark.assets.scorer_table import topn_candidates
+    from ocr_corrector_spark.functions.correct_kernels import bert_correct_one
+    from ocr_corrector_spark.operators.correct import framed_score_rows
+
+    text = "settlement大安门"  # err at index 10 (大)
+    vocab = set(load_vocab(FIXTURE_VOCAB))
+    fs = FramedTableScorer(vocab=vocab, context_bigrams={})
+    assert fs.score_sentences([text], [[10]])[0] is None
+
+    key = (2, text, (10,))
+    out = framed_score_rows({key: (text, [10])}, fs, 3, char_sim, topn_candidates)
+    want = bert_correct_one(text, [10], char_sim, topn_candidates)
+    assert out[key] == want == "settlement天安门"
+
+
+def test_wordpiece_aligned_cjk_still_framed(char_sim):
+    """Pure-CJK text through the SAME loaded vocab stays 1:1 aligned, so
+    the framed path (not the fallback) scores it."""
+    from ocr_corrector_spark.assets.scorer_table import topn_candidates
+
+    vocab = set(load_vocab(FIXTURE_VOCAB))
+    fs = FramedTableScorer(vocab=vocab, context_bigrams={})
+    scored = fs.score_sentences(["大安门"], [[0]])
+    assert scored[0] is not None
+    assert scored[0][0] == topn_candidates("大")

@@ -181,3 +181,33 @@ def test_audit_wave_replay_idempotent(spark, tmp_path):
     assert audit.agg(F.sum("n_rows")).collect()[0][0] == n_rows
     biz = spark.read.parquet(audit_path + "_biz")
     assert biz.agg(F.sum("n_rows")).collect()[0][0] == n_rows
+
+
+@pytest.mark.parametrize("salt_buckets", [2, 8, 16])
+def test_salted_reassembly_spreads_hot_conv(spark, salt_buckets):
+    """North-rule skew property (VERDICT r02 #10): the generator's heavy
+    conversation (200 turns) must land in >= 2 salt buckets in stage 1 of
+    reassemble_conversations — a hot conv_id cannot pin one reducer — and
+    the two-stage merge must leave the final turn order unchanged."""
+    heavy_turns = 200
+    df = gen_transcripts(
+        spark, n_convs=60, heavy_every=59, heavy_turns=heavy_turns
+    ).withColumn("text_corrected", F.col("text"))
+    heavy_id = "conv-000000"
+
+    # stage-1 salt spread, computed with the operator's own salt expression
+    n_salts = (
+        df.filter(F.col("conv_id") == heavy_id)
+        .select(F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt_buckets)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts >= 2
+
+    out = (
+        reassemble_conversations(df, salt_buckets=salt_buckets)
+        .filter(F.col("conv_id") == heavy_id)
+        .collect()[0]
+    )
+    assert out.n_turns == heavy_turns
+    assert [t.turn_idx for t in out.turns] == list(range(heavy_turns))
