@@ -120,28 +120,59 @@ def main() -> None:
             cpus * 2
         )
     )
-    reps = []
-    caps = [measure_capacity(cpus)]  # calibration bracketing the reps
-    for fr in frames:
+    # Quiet-window protocol (VERDICT r02 #6): capacity probes BRACKET every
+    # flagship rep; a rep whose bracket dips below the floor ran in a
+    # degraded host window and is RERUN on a fresh seed (bounded retries) —
+    # so the committed flagship number is a quiet-window measurement or an
+    # explicit degraded marker, never a silent artifact of shared-host load.
+    cap_floor = float(os.environ.get("SPARK_GRAFT_CAP_FLOOR_PER_CORE", "1.5")) * cpus
+    max_retries = int(os.environ.get("SPARK_GRAFT_REP_RETRIES", "2"))
+    scaling_mode = bool(os.environ.get("SPARK_GRAFT_SKIP_QUERIES"))
+    reps, rep_probes, degraded_reps = [], [], 0
+    cap = measure_capacity(cpus)
+    retry_seed = seed_base + 1000
+    queue = list(frames)
+    while queue:
+        fr = queue.pop(0)
+        pre = cap
         t0 = time.perf_counter()
         run_pipeline(fr)
-        reps.append(time.perf_counter() - t0)
-    caps.append(measure_capacity(cpus))
-    # min of 3 distinct-seed runs: this sandbox exhibits sporadic
-    # multi-second idle task stalls (environmental, rescued by speculation
-    # when long enough); min is the robust steady-state estimator — all
-    # reps are reported.
-    correct_sec = min(reps)
+        wall = time.perf_counter() - t0
+        cap = post = measure_capacity(cpus)
+        fr.unpersist()
+        quiet = min(pre, post) >= cap_floor
+        rep_probes.append(
+            {"pre": pre, "post": post, "sec": round(wall, 3), "quiet": quiet}
+        )
+        reps.append(wall)
+        # retries only in full-bench mode: the scaling driver has its own
+        # round gates and must see every rep it asked for
+        if not quiet and not scaling_mode and degraded_reps < max_retries:
+            degraded_reps += 1
+            nf = gen_transcripts(
+                spark, n_convs=n_convs, seed=retry_seed
+            ).repartition(128).persist()
+            retry_seed += 1
+            nf.count()
+            queue.append(nf)
+    # min over quiet-bracketed reps when any exist (the steady-state
+    # estimator this sandbox's sporadic stalls demand); if NO rep had a
+    # quiet bracket, fall back to min of all and mark the window degraded
+    quiet_secs = [p["sec"] for p in rep_probes if p["quiet"]]
+    degraded_window = not quiet_secs
+    correct_sec = min(quiet_secs) if quiet_secs else min(reps)
     timings["flagship_correct"] = round(correct_sec, 3)
     flagship_reps = [round(r, 3) for r in reps]
-    for fr in frames:
-        fr.unpersist()
+    caps = [rep_probes[0]["pre"]] + [p["post"] for p in rep_probes]
 
     # fused single-Arrow-pass variant (operators/fused.py) — fresh seeds so
     # the staged reps' row memo can't serve it.  Skipped in scaling rounds
     # (SKIP_QUERIES): the scaling ratio only needs the staged flagship.
-    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
-        _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec)
+    if scaling_mode:
+        _report(
+            timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec,
+            rep_probes, degraded_window,
+        )
         spark.stop()
         return
 
@@ -189,6 +220,25 @@ def main() -> None:
     for fr in framed_frames:
         fr.unpersist()
 
+    # numpy masked-LM backend (real checkpoint load + forward pass at
+    # masked positions) — priced next to the stand-ins.  Fresh seeds again.
+    lm_frames = [
+        gen_transcripts(spark, n_convs=n_convs, seed=s + 160).repartition(128).persist()
+        for s in range(seed_base, seed_base + min(2, n_reps))
+    ]
+    for fr in lm_frames:
+        fr.count()
+    lm_reps = []
+    for fr in lm_frames:
+        t0 = time.perf_counter()
+        correct_pipeline(fr, spark, order_output=True, scorer_backend="lm").agg(
+            F.sum(F.length("text_corrected")), F.count(F.lit(1))
+        ).collect()
+        lm_reps.append(time.perf_counter() - t0)
+    timings["flagship_lm"] = round(min(lm_reps), 3)
+    for fr in lm_frames:
+        fr.unpersist()
+
     # --- SQL-analog operators (steady state: warm once, median of 3) ------
     query_names = () if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") else (
         "minhash_buckets",
@@ -202,6 +252,7 @@ def main() -> None:
         "ann_probe_topk",
         "conversation_dedup",
     )
+    query_probes: dict[str, float] = {}
     for name in query_names:
         fn = getattr(sqlops, f"q_{name}")
         fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()  # warm (IO + codegen)
@@ -214,8 +265,13 @@ def main() -> None:
             fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
             q_reps.append(time.perf_counter() - t0)
         timings[name] = round(min(q_reps), 3)
+        # one probe per query: a degraded window is self-explaining per row
+        query_probes[name] = measure_capacity(cpus)
 
-    _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec)
+    _report(
+        timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec,
+        rep_probes, degraded_window, query_probes,
+    )
     spark.stop()
 
 
@@ -231,25 +287,33 @@ def _scaling_evidence() -> dict | None:
             ev = json.load(f)
     except Exception:
         return None
-    sel = ev.get("selected_round") or {}
+    sel = ev.get("best_gated_round") or ev.get("selected_round") or {}
+    wi = ev.get("work_invariance") or {}
     return {
+        # headline = MEDIAN of gated rounds (never a best-of-N pick)
         "raw_efficiency": ev.get("raw_efficiency"),
         "meets_target": ev.get("meets_target"),
         "target": ev.get("target"),
+        "median_eff_gated": ev.get("median_eff_gated"),
+        "work_invariance_median_gated": wi.get("median_gated"),
+        "work_invariance_target_max": wi.get("target_max"),
+        "work_invariance_meets_target": wi.get("meets_target"),
         "n_cores": ev.get("n_cores"),
         "n4_cores": ev.get("n4_cores"),
-        "thr_N_pre": sel.get("thr_N_pre"),
-        "thr_4N": sel.get("thr_4N"),
-        "thr_N_post": sel.get("thr_N_post"),
+        "best_gated_thr_N_pre": sel.get("thr_N_pre"),
+        "best_gated_thr_4N": sel.get("thr_4N"),
+        "best_gated_thr_N_post": sel.get("thr_N_post"),
         "measured_utc": sel.get("started_utc"),
         "gate": ev.get("gate", {}).get("definition"),
-        "median_eff_gated": ev.get("median_eff_gated"),
         "rounds_run": len(ev.get("rounds", [])),
         "artifact": "BENCH/scaling_evidence.json",
     }
 
 
-def _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec):
+def _report(
+    timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec,
+    rep_probes=None, degraded_window=False, query_probes=None,
+):
     out = {
         "metric": "headline suite wall time (flagship correction + operator analogs)",
         "value": round(sum(timings.values()), 3),
@@ -260,8 +324,12 @@ def _report(timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec):
         "n_turns": n_turns,
         "flagship_reps": flagship_reps,
         "hw_capacity_probes": caps,
+        "flagship_rep_probes": rep_probes,
+        "degraded_window": degraded_window,
         "corrected_turns_per_sec": round(n_turns / correct_sec, 1),
     }
+    if query_probes:
+        out["query_probes"] = query_probes
     if "flagship_fused" in timings:
         out["fused_turns_per_sec"] = round(n_turns / timings["flagship_fused"], 1)
     scaling = _scaling_evidence()

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import shutil
 import statistics
 import subprocess
@@ -62,6 +63,18 @@ STABILITY_TOL = float(os.environ.get("SCALING_STABILITY_TOL", "0.10"))
 CAP_N_MIN = float(os.environ.get("SCALING_CAP_N_MIN", "15.0"))
 CAP_RATIO_MIN = float(os.environ.get("SCALING_CAP_RATIO_MIN", "2.5"))
 TARGET_EFF = 0.8
+# CPU work-invariance: total engine CPU (JVM + Python workers, measured as
+# getrusage(RUSAGE_CHILDREN) deltas around each fresh-JVM bench) at 4N vs
+# mean of the two N runs.  A scalable engine does the SAME total work at
+# both parallelism levels; <= 1.25 allows JVM/GC/scheduler overhead of the
+# wider config.  This is the metric a shared host CANNOT distort downward:
+# wall-clock efficiency tracks delivered cores, CPU work tracks the engine.
+WORK_INVARIANCE_MAX = float(os.environ.get("SCALING_WORK_INVARIANCE_MAX", "1.25"))
+
+
+def _child_cpu() -> float:
+    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return ru.ru_utime + ru.ru_stime
 
 
 def run_bench(cpus: int, sf_dir: str, seed: int, reps: int = 1) -> dict:
@@ -137,10 +150,20 @@ spark.stop()
 def run_round(n: int, sf_dir: str, seed: int) -> dict:
     """One gated round: N (pre) → 4N → N (post), same seed, fresh JVMs."""
     t0 = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    c0 = _child_cpu()
     b_pre = run_bench(n, sf_dir, seed=seed)
+    c1 = _child_cpu()
     b_4n = run_bench(4 * n, sf_dir, seed=seed)
+    c2 = _child_cpu()
     b_post = run_bench(n, sf_dir, seed=seed)
+    c3 = _child_cpu()
     t1 = datetime.now(timezone.utc).isoformat(timespec="seconds")
+    cpu_n_pre, cpu_4n, cpu_n_post = c1 - c0, c2 - c1, c3 - c2
+    work_invariance = (
+        round(cpu_4n / ((cpu_n_pre + cpu_n_post) / 2), 3)
+        if cpu_n_pre + cpu_n_post > 0
+        else None
+    )
 
     thr_pre = b_pre["corrected_turns_per_sec"]
     thr_4n = b_4n["corrected_turns_per_sec"]
@@ -176,6 +199,10 @@ def run_round(n: int, sf_dir: str, seed: int) -> dict:
         "stability": round(stability, 4),
         "cap_ratio": round(cap_ratio, 3),
         "raw_efficiency": round(eff, 3),
+        "cpu_sec_N_pre": round(cpu_n_pre, 1),
+        "cpu_sec_4N": round(cpu_4n, 1),
+        "cpu_sec_N_post": round(cpu_n_post, 1),
+        "work_invariance": work_invariance,
         "gated": not fails,
         "gate_failures": fails,
     }
@@ -190,7 +217,8 @@ def write_artifact(summary: dict) -> None:
 def write_baseline_md(summary: dict) -> None:
     n = summary["n_cores"]
     n4 = summary["n4_cores"]
-    sel = summary.get("selected_round")
+    sel = summary.get("best_gated_round")
+    wi = summary.get("work_invariance", {})
     rounds = summary["rounds"]
     full = summary.get("bench_4N_full") or {}
     lines = [
@@ -211,41 +239,47 @@ def write_baseline_md(summary: dict) -> None:
         f"G3 capacity ratio 4N/N ≥ {summary['gate']['cap_ratio_min']}",
         "(burn-probe capacities taken immediately around each timed rep).",
         "Raw efficiency per round = thr(4N) / (4 · mean(thr_N_pre, thr_N_post)) —",
-        "same-round pairs only.",
+        "same-round pairs only.  HEADLINES are MEDIANS over gated rounds, never a",
+        "best-of-N pick; the per-round CPU work-invariance ratio (total engine CPU",
+        "at 4N vs N, getrusage RUSAGE_CHILDREN) is a first-class companion metric:",
+        "~1.0 means the engine does the same total work at both widths, so any",
+        "wall-clock shortfall is delivered-core capacity, not engine structure.",
         "",
         "| metric | value |",
         "|---|---|",
         f"| input turns | {summary['n_turns']} |",
         f"| sf dir | {summary['sf_dir']} |",
         f"| rounds run / gated | {len(rounds)} / {summary['n_gated']} |",
+        f"| **median raw efficiency — gated rounds (HEADLINE)** | **{summary['median_eff_gated']}** |",
+        f"| target | ≥ {TARGET_EFF} |",
+        f"| **wall-clock target met (median, gated)** | **{summary['meets_target']}** |",
+        f"| **median CPU work-invariance — gated (HEADLINE)** | **{wi.get('median_gated')}** |",
+        f"| work-invariance target | ≤ {wi.get('target_max')} |",
+        f"| **work-invariance target met (median, gated)** | **{wi.get('meets_target')}** |",
+        f"| median raw efficiency — all rounds | {summary['median_eff_all']} |",
+        f"| best raw efficiency — all rounds (supporting detail) | {summary['best_eff_all']} |",
     ]
     if sel:
         lines += [
-            f"| **selected gated round** (seed {sel['seed']}, {sel['started_utc']}) | |",
-            f"| corrected turns/sec @ local[{n}] (pre / post) | {sel['thr_N_pre']} / {sel['thr_N_post']} |",
-            f"| corrected turns/sec @ local[{n4}] | {sel['thr_4N']} |",
-            f"| per-core turns/sec @ local[{n}] | {(sel['thr_N_pre'] + sel['thr_N_post']) / (2 * n):.1f} |",
-            f"| per-core turns/sec @ local[{n4}] | {sel['thr_4N'] / n4:.1f} |",
-            f"| **raw scaling efficiency thr(4N)/(4·thr(N))** | **{sel['raw_efficiency']:.3f}** |",
-            f"| capacity probes N pre/4N/N post | {sel['cap_probes_N_pre']} / {sel['cap_probes_4N']} / {sel['cap_probes_N_post']} |",
+            f"| best gated round (supporting detail; seed {sel['seed']}, {sel['started_utc']}) | eff {sel['raw_efficiency']:.3f} |",
+            f"| · corrected turns/sec @ local[{n}] (pre / post) | {sel['thr_N_pre']} / {sel['thr_N_post']} |",
+            f"| · corrected turns/sec @ local[{n4}] | {sel['thr_4N']} |",
+            f"| · per-core turns/sec @ local[{n}] / local[{n4}] | {(sel['thr_N_pre'] + sel['thr_N_post']) / (2 * n):.1f} / {sel['thr_4N'] / n4:.1f} |",
+            f"| · capacity probes N pre/4N/N post | {sel['cap_probes_N_pre']} / {sel['cap_probes_4N']} / {sel['cap_probes_N_post']} |",
         ]
     lines += [
-        f"| median raw efficiency — gated rounds | {summary['median_eff_gated']} |",
-        f"| median raw efficiency — all rounds | {summary['median_eff_all']} |",
-        f"| best raw efficiency — all rounds | {summary['best_eff_all']} |",
-        f"| target | ≥ {TARGET_EFF} |",
-        f"| **target met (gated)** | **{summary['meets_target']}** |",
         "",
         "All rounds (chronological; gate failures shown):",
         "",
-        "| seed | start (UTC) | thr N pre | thr 4N | thr N post | eff | gated |",
-        "|---|---|---|---|---|---|---|",
+        "| seed | start (UTC) | thr N pre | thr 4N | thr N post | eff | work-inv | gated |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rounds:
         g = "yes" if r["gated"] else "; ".join(r["gate_failures"])
         lines.append(
             f"| {r['seed']} | {r['started_utc']} | {r['thr_N_pre']} | "
-            f"{r['thr_4N']} | {r['thr_N_post']} | {r['raw_efficiency']} | {g} |"
+            f"{r['thr_4N']} | {r['thr_N_post']} | {r['raw_efficiency']} | "
+            f"{r.get('work_invariance')} | {g} |"
         )
     if full.get("queries"):
         fc = full.get("cpus", n4)
@@ -281,28 +315,33 @@ def main() -> None:
     full_bench = os.environ.get("SCALING_FULL_BENCH", "1") == "1"
     prepare_input(sf_dir, n_seeds)
 
+    def med(vals):
+        vals = [v for v in vals if v is not None]
+        return round(statistics.median(vals), 3) if vals else None
+
     rounds: list[dict] = []
-    selected = None
     for attempt in range(1, max_attempts + 1):
         seed = (attempt - 1) % n_seeds + 1
         r = run_round(n, sf_dir, seed)
         rounds.append(r)
         print(json.dumps({"attempt": attempt, **r}), file=sys.stderr, flush=True)
-        gated_ok = [
-            x for x in rounds if x["gated"] and x["raw_efficiency"] >= TARGET_EFF
-        ]
-        if gated_ok and attempt >= min_rounds:
-            # best gated round that meets target
-            selected = max(gated_ok, key=lambda x: x["raw_efficiency"])
+        gated_so_far = [x for x in rounds if x["gated"]]
+        med_eff = med([x["raw_efficiency"] for x in gated_so_far])
+        # stop when the MEDIAN of gated rounds meets target with enough
+        # evidence — never on a single lucky round (best-of-N is not the
+        # headline; ADVICE r02)
+        if (
+            len(gated_so_far) >= min_rounds
+            and med_eff is not None
+            and med_eff >= TARGET_EFF
+        ):
             break
         time.sleep(int(os.environ.get("SCALING_SLEEP", "5")))
 
     gated = [r for r in rounds if r["gated"]]
-    if selected is None and gated:
-        selected = max(gated, key=lambda x: x["raw_efficiency"])
-
-    def med(vals):
-        return round(statistics.median(vals), 3) if vals else None
+    best_gated = max(gated, key=lambda x: x["raw_efficiency"]) if gated else None
+    median_eff_gated = med([r["raw_efficiency"] for r in gated])
+    median_work_gated = med([r["work_invariance"] for r in gated])
 
     summary = {
         "generated_utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
@@ -319,18 +358,42 @@ def main() -> None:
                 "G1 |thr_N_pre-thr_N_post|/max<=tol; G2 min cap probe@N>=cap_n_min; "
                 "G3 min cap@4N / min cap@N >= cap_ratio_min (probes bracket "
                 "each timed rep; min = capacity held through the whole round); "
-                "eff = thr_4N/(4*mean(thr_N_pre,thr_N_post))"
+                "eff = thr_4N/(4*mean(thr_N_pre,thr_N_post)); work_invariance = "
+                "childCPU(4N)/mean(childCPU(N_pre),childCPU(N_post))"
             ),
         },
         "rounds": rounds,
         "n_gated": len(gated),
-        "selected_round": selected,
-        "raw_efficiency": selected["raw_efficiency"] if selected else None,
-        "median_eff_gated": med([r["raw_efficiency"] for r in gated]),
+        # HEADLINE = the MEDIAN of gated rounds, not a best-of-N pick
+        # (ADVICE r02 / VERDICT r02 #7); the best round is supporting detail
+        "raw_efficiency": median_eff_gated,
+        "median_eff_gated": median_eff_gated,
         "median_eff_all": med([r["raw_efficiency"] for r in rounds]),
         "best_eff_all": max((r["raw_efficiency"] for r in rounds), default=None),
+        "best_gated_round": best_gated,
         "target": TARGET_EFF,
-        "meets_target": bool(selected and selected["raw_efficiency"] >= TARGET_EFF),
+        "meets_target": bool(
+            median_eff_gated is not None and median_eff_gated >= TARGET_EFF
+        ),
+        # first-class companion metric: engine CPU work is parallelism-
+        # invariant — the scaling signal a loaded shared host cannot fake
+        "work_invariance": {
+            "median_gated": median_work_gated,
+            "median_all": med([r["work_invariance"] for r in rounds]),
+            "target_max": WORK_INVARIANCE_MAX,
+            "meets_target": bool(
+                median_work_gated is not None
+                and median_work_gated <= WORK_INVARIANCE_MAX
+            ),
+            "definition": (
+                "total engine CPU seconds (JVM + Python workers; "
+                "getrusage RUSAGE_CHILDREN deltas around each fresh-JVM "
+                "bench) at 4N divided by the mean of the two N runs; ~1.0 "
+                "= the engine does the same total work at both widths, so "
+                "wall-clock efficiency is bounded by delivered cores, not "
+                "engine structure"
+            ),
+        },
     }
     # write the rounds FIRST — a failure in the optional full bench must
     # never discard hours of gated-round evidence
