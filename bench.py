@@ -249,12 +249,17 @@ def main() -> None:
         "text_quality",
         "keyword_fuzzy_join",
         "simhash_neardup_pairs",
+        "simhash64_neardup_pairs",
         "ann_probe_topk",
+        "ivf_probe_recall",
         "conversation_dedup",
+        "image_stats",
     )
+    from ocr_corrector_spark.operators.multimodal import q_image_stats
+
     query_probes: dict[str, float] = {}
     for name in query_names:
-        fn = getattr(sqlops, f"q_{name}")
+        fn = q_image_stats if name == "image_stats" else getattr(sqlops, f"q_{name}")
         fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()  # warm (IO + codegen)
         # 5 reps (vs 3 for the expensive flagship): these queries run ~1s
         # each, and the sandbox's sporadic multi-second stalls otherwise
