@@ -325,6 +325,10 @@ def main() -> None:
         r = run_round(n, sf_dir, seed)
         rounds.append(r)
         print(json.dumps({"attempt": attempt, **r}), file=sys.stderr, flush=True)
+        # incremental checkpoint: a kill mid-hunt must never discard
+        # completed rounds (the artifact is rewritten with the final
+        # summary below once the loop ends)
+        write_artifact({"partial": True, "rounds": rounds})
         gated_so_far = [x for x in rounds if x["gated"]]
         med_eff = med([x["raw_efficiency"] for x in gated_so_far])
         # stop when the MEDIAN of gated rounds meets target with enough
