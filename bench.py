@@ -63,11 +63,18 @@ def subtree_cpu_seconds() -> float:
     return total
 
 
-def measure_capacity(n_workers: int) -> float:
+def measure_capacity(n_workers: int, with_burn: bool = False):
     """Deliverable aggregate CPU capacity for n_workers concurrent pure-
     Python processes (burn-loops/sec) — the shared-host calibration taken
     IMMEDIATELY around the timed reps so the number reflects the same
-    machine conditions the rep saw."""
+    machine conditions the rep saw.
+
+    ``with_burn``: also return the mean per-process burn DURATION — fixed
+    work per process, so its growth with worker count measures the host's
+    CPU-time inflation under concurrency (frequency scaling / SMT sibling
+    contention).  The scaling driver divides the engine's CPU
+    work-invariance ratio by this hardware inflation: what remains is
+    engine overhead, not silicon physics."""
     q = multiprocessing.Queue()
     ps = [multiprocessing.Process(target=_burn, args=(q,)) for _ in range(n_workers)]
     t0 = time.perf_counter()
@@ -76,9 +83,11 @@ def measure_capacity(n_workers: int) -> float:
     for p in ps:
         p.join()
     wall = time.perf_counter() - t0
-    for _ in range(n_workers):
-        q.get()
-    return round(n_workers / wall, 3)
+    burns = [q.get() for _ in range(n_workers)]
+    rate = round(n_workers / wall, 3)
+    if with_burn:
+        return rate, round(sum(burns) / len(burns), 4)
+    return rate
 
 
 def main() -> None:
@@ -165,24 +174,27 @@ def main() -> None:
     max_retries = int(os.environ.get("SPARK_GRAFT_REP_RETRIES", "2"))
     scaling_mode = bool(os.environ.get("SPARK_GRAFT_SKIP_QUERIES"))
     reps, rep_probes, degraded_reps = [], [], 0
-    cap = measure_capacity(cpus)
+    cap, burn = measure_capacity(cpus, with_burn=True)
     retry_seed = seed_base + 1000
     queue = list(frames)
     while queue:
         fr = queue.pop(0)
-        pre = cap
+        pre, burn_pre = cap, burn
         c0 = subtree_cpu_seconds()
         t0 = time.perf_counter()
         run_pipeline(fr)
         wall = time.perf_counter() - t0
         rep_cpu = subtree_cpu_seconds() - c0
-        cap = post = measure_capacity(cpus)
+        cap, burn = measure_capacity(cpus, with_burn=True)
+        post, burn_post = cap, burn
         fr.unpersist()
         quiet = min(pre, post) >= cap_floor
         rep_probes.append(
             {
                 "pre": pre,
                 "post": post,
+                "burn_pre": burn_pre,
+                "burn_post": burn_post,
                 "sec": round(wall, 3),
                 "engine_cpu_sec": round(rep_cpu, 1),
                 "quiet": quiet,
@@ -220,8 +232,11 @@ def main() -> None:
     flagship_reps = [round(r, 3) for r in reps]
     caps = [rep_probes[0]["pre"]] + [p["post"] for p in rep_probes]
     # engine CPU of the headline rep — the scaling driver's work-invariance
-    # numerator/denominator (JVM + Python workers; probes excluded)
+    # numerator/denominator (JVM + Python workers; probes excluded) — plus
+    # the bracketing probes' mean per-process burn duration (the hardware
+    # CPU-time-inflation reference for the same window)
     flagship_engine_cpu = best["engine_cpu_sec"]
+    flagship_probe_burn = round((best["burn_pre"] + best["burn_post"]) / 2, 4)
 
     # fused single-Arrow-pass variant (operators/fused.py) — fresh seeds so
     # the staged reps' row memo can't serve it.  Skipped in scaling rounds
@@ -229,7 +244,9 @@ def main() -> None:
     if scaling_mode:
         _report(
             timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec,
-            rep_probes, degraded_window, flagship_engine_cpu=flagship_engine_cpu,
+            rep_probes, degraded_window,
+            flagship_engine_cpu=flagship_engine_cpu,
+            flagship_probe_burn=flagship_probe_burn,
         )
         spark.stop()
         return
@@ -334,6 +351,7 @@ def main() -> None:
     _report(
         timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec,
         rep_probes, degraded_window, query_probes, flagship_engine_cpu,
+        flagship_probe_burn,
     )
     spark.stop()
 
@@ -376,7 +394,7 @@ def _scaling_evidence() -> dict | None:
 def _report(
     timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec,
     rep_probes=None, degraded_window=False, query_probes=None,
-    flagship_engine_cpu=None,
+    flagship_engine_cpu=None, flagship_probe_burn=None,
 ):
     out = {
         "metric": "headline suite wall time (flagship correction + operator analogs)",
@@ -391,6 +409,7 @@ def _report(
         "flagship_rep_probes": rep_probes,
         "degraded_window": degraded_window,
         "flagship_engine_cpu_sec": flagship_engine_cpu,
+        "flagship_probe_burn_sec": flagship_probe_burn,
         "corrected_turns_per_sec": round(n_turns / correct_sec, 1),
     }
     if query_probes:

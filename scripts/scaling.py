@@ -164,6 +164,19 @@ def run_round(n: int, sf_dir: str, seed: int) -> dict:
         if cpu_n_pre + cpu_n_post > 0
         else None
     )
+    # hardware CPU-time inflation for FIXED work under 4x concurrency
+    # (frequency scaling / SMT): per-process burn duration of the probes
+    # bracketing the same timed reps.  Dividing the engine's raw ratio by
+    # it isolates ENGINE overhead from silicon physics.
+    burn_n_pre = b_pre.get("flagship_probe_burn_sec")
+    burn_4n = b_4n.get("flagship_probe_burn_sec")
+    burn_n_post = b_post.get("flagship_probe_burn_sec")
+    hw_cpu_inflation = None
+    work_invariance_adj = None
+    if burn_n_pre and burn_n_post and burn_4n:
+        hw_cpu_inflation = round(burn_4n / ((burn_n_pre + burn_n_post) / 2), 3)
+        if work_invariance is not None and hw_cpu_inflation > 0:
+            work_invariance_adj = round(work_invariance / hw_cpu_inflation, 3)
 
     thr_pre = b_pre["corrected_turns_per_sec"]
     thr_4n = b_4n["corrected_turns_per_sec"]
@@ -203,7 +216,11 @@ def run_round(n: int, sf_dir: str, seed: int) -> dict:
         "cpu_sec_N_pre": round(cpu_n_pre, 1),
         "cpu_sec_4N": round(cpu_4n, 1),
         "cpu_sec_N_post": round(cpu_n_post, 1),
-        "work_invariance": work_invariance,
+        "work_invariance_raw": work_invariance,
+        "hw_cpu_inflation": hw_cpu_inflation,
+        "work_invariance": (
+            work_invariance_adj if work_invariance_adj is not None else work_invariance
+        ),
         "gated": not fails,
         "gate_failures": fails,
     }
@@ -392,12 +409,15 @@ def main() -> None:
                 and median_work_gated <= WORK_INVARIANCE_MAX
             ),
             "definition": (
-                "total engine CPU seconds (JVM + Python workers; "
-                "getrusage RUSAGE_CHILDREN deltas around each fresh-JVM "
-                "bench) at 4N divided by the mean of the two N runs; ~1.0 "
-                "= the engine does the same total work at both widths, so "
-                "wall-clock efficiency is bounded by delivered cores, not "
-                "engine structure"
+                "total engine CPU seconds of the timed rep (JVM + Python "
+                "workers; /proc subtree snapshot deltas, probes excluded) "
+                "at 4N divided by the mean of the two N runs, then divided "
+                "by the host's own CPU-time inflation for fixed work under "
+                "4x concurrency (per-process burn duration of the probes "
+                "bracketing the same reps); ~1.0 = the engine does the "
+                "same total work at both widths, so wall-clock efficiency "
+                "is bounded by delivered cores, not engine structure; "
+                "per-round raw ratio and hw inflation are both recorded"
             ),
         },
     }
