@@ -258,10 +258,13 @@ def write_baseline_md(summary: dict) -> None:
         "(burn-probe capacities taken immediately around each timed rep).",
         "Raw efficiency per round = thr(4N) / (4 · mean(thr_N_pre, thr_N_post)) —",
         "same-round pairs only.  HEADLINES are MEDIANS over gated rounds, never a",
-        "best-of-N pick; the per-round CPU work-invariance ratio (total engine CPU",
-        "at 4N vs N, getrusage RUSAGE_CHILDREN) is a first-class companion metric:",
-        "~1.0 means the engine does the same total work at both widths, so any",
-        "wall-clock shortfall is delivered-core capacity, not engine structure.",
+        "best-of-N pick; the per-round CPU work-invariance ratio — the timed rep's",
+        "engine CPU (/proc subtree: JVM + Python workers, probes excluded) at 4N",
+        "vs N, normalized by the host's own CPU-time inflation for fixed work",
+        "under 4x concurrency (probe burn durations) — is a first-class gated",
+        "metric: ~1.0 means the engine does the same total work at both widths,",
+        "so any wall-clock shortfall is delivered-core capacity, not engine",
+        "structure.",
         "",
         "| metric | value |",
         "|---|---|",
