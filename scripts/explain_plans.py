@@ -48,11 +48,17 @@ def main() -> None:
         "keyword_fuzzy_join",
         "err_positions",
         "simhash_neardup_pairs",
+        "simhash64_neardup_pairs",
         "ann_probe_topk",
         "ivf_probe_topk",
+        "ivf_probe_recall",
         "conversation_dedup",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
+
+    from ocr_corrector_spark.operators.multimodal import q_image_stats
+
+    sections["image_stats"] = explain(q_image_stats(spark, sf_dir))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:

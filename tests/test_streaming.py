@@ -66,3 +66,35 @@ def test_streaming_windowed_metrics(spark, stream_input, tmp_path):
     # the schema contract is what we assert here, plus non-crash.
     for r in rows:
         assert r.n_rows >= r.n_corrected >= 0
+
+
+def test_streaming_lm_backend_matches_batch_lm(spark, stream_input, tmp_path):
+    """The numpy masked-LM backend on a stream: scorer options pass through
+    streaming_correct, the per-worker checkpoint singleton loads inside
+    streaming tasks, and output equals the batch lm run row-for-row."""
+    in_dir, schema = stream_input
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    out_dir = str(tmp_path / "out_lm")
+    q = (
+        streaming_correct(src, spark, scorer_backend="lm")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = sorted(
+        spark.read.parquet(out_dir)
+        .select("conv_id", "turn_idx", "text_corrected")
+        .collect()
+    )
+    batch = sorted(
+        correct_pipeline(
+            spark.read.parquet(in_dir), spark,
+            order_output=False, scorer_backend="lm",
+        )
+        .select("conv_id", "turn_idx", "text_corrected")
+        .collect()
+    )
+    assert streamed == batch and len(streamed) > 0
