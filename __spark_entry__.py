@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_dedup": q.q_conversation_dedup,
         "simhash64_neardup_pairs": q.q_simhash64_neardup_pairs,
         "image_stats": _image_stats,
+        "sessionize": q.q_sessionize,
+        "event_windows": q.q_event_windows,
+        "dedup_groups": q.q_dedup_groups,
     }
 
 
@@ -229,14 +232,49 @@ def _ngrams_sql(split: str) -> str:
     )
 
 
+def _minhash_sig_sql() -> str:
+    return ", ".join(
+        f"list_aggregate(list_transform(grams, g -> md5('{s}' || g)), 'min') AS mh_{s}"
+        for s in ("s1", "s2", "s3", "s4")
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    """The full minhash_neardup_pairs SELECT (band-key candidates + exact
+    Jaccard verify) — used standalone and as the edge source of the
+    dedup-groups recursive closure."""
+    ngrams = _ngrams_sql("string_split(text,' ')")
+    return f"""
+            WITH g AS (
+                SELECT doc_id, {ngrams} AS grams FROM documents
+            ), sigs AS (
+                SELECT doc_id, {_minhash_sig_sql()}
+                FROM g WHERE len(grams) > 0
+            ), keyed AS (
+                SELECT s.doc_id,
+                       mh_s1 || '|' || mh_s2 || '|' || mh_s3 || '|' || mh_s4 AS band_key,
+                       g.grams
+                FROM sigs s JOIN g USING (doc_id)
+            ), pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.grams, b.grams)) AS inter,
+                       len(a.grams) + len(b.grams)
+                           - len(list_intersect(a.grams, b.grams)) AS uni
+                FROM keyed a JOIN keyed b
+                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(inter::DOUBLE / uni, 4) AS jaccard
+            FROM pairs
+            WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.30
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     kws = ", ".join(f"('{k}')" for k in ("spark", "scan", "sort", "join", "merge", "batch"))
     ngrams = _ngrams_sql("string_split(text,' ')")
     ev_ngrams = _ngrams_sql("string_split(event_seq, ',')")
-    minhash_sig = ", ".join(
-        f"list_aggregate(list_transform(grams, g -> md5('{s}' || g)), 'min') AS mh_{s}"
-        for s in ("s1", "s2", "s3", "s4")
-    )
+    minhash_sig = _minhash_sig_sql()
     return {
         "err_positions": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
@@ -462,30 +500,7 @@ def oracle_sql() -> dict[str, str]:
         "layout_strip": """
             SELECT doc_id, text AS text_main FROM documents
         """,
-        "minhash_neardup_pairs": f"""
-            WITH g AS (
-                SELECT doc_id, {ngrams} AS grams FROM documents
-            ), sigs AS (
-                SELECT doc_id, {minhash_sig}
-                FROM g WHERE len(grams) > 0
-            ), keyed AS (
-                SELECT s.doc_id,
-                       mh_s1 || '|' || mh_s2 || '|' || mh_s3 || '|' || mh_s4 AS band_key,
-                       g.grams
-                FROM sigs s JOIN g USING (doc_id)
-            ), pairs AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       len(list_intersect(a.grams, b.grams)) AS inter,
-                       len(a.grams) + len(b.grams)
-                           - len(list_intersect(a.grams, b.grams)) AS uni
-                FROM keyed a JOIN keyed b
-                  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-            )
-            SELECT doc_a, doc_b,
-                   round(inter::DOUBLE / uni, 4) AS jaccard
-            FROM pairs
-            WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.30
-        """,
+        "minhash_neardup_pairs": _minhash_pairs_sql(),
         "simhash_neardup_pairs": _simhash_neardup_sql(),
         "ann_probe_topk": _ann_probe_sql(),
         "ivf_probe_topk": """
@@ -560,6 +575,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.3
         """,
         "simhash64_neardup_pairs": _simhash64_neardup_sql(),
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR floor(epoch(ts - lag(ts) OVER w)) > 21600
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+                   (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+            FROM g
+        """,
+        "event_windows": """
+            SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "dedup_groups": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM base
+                UNION ALL
+                SELECT doc_b, doc_a FROM base
+            ), nodes AS (
+                SELECT DISTINCT a AS doc_id FROM edges
+            ), reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM nodes
+                UNION
+                SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+            )
+            SELECT doc_id, min(r)::BIGINT AS group_id FROM reach GROUP BY doc_id
+        """,
         "ivf_probe_recall": """
             WITH cents AS (
                 SELECT vec_id AS centroid_id, embedding AS c

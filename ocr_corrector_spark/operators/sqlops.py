@@ -892,6 +892,104 @@ def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.3)
 
 
+# --- sessionization: gap-based session assignment --------------------------------
+SESSION_GAP_SEC = 21600  # 6 hours
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the batch form of the streaming
+    session-window operator (streaming/stateful.py): an event starts a new
+    session when it follows the user's previous event by more than
+    SESSION_GAP_SEC.  Pure window functions (lag + running sum), one
+    shuffle on user_id; at 100TB the skew story is the same as turn
+    reassembly (hash on a high-cardinality user key; the windows are
+    per-user linear scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval-in-seconds, NOT epoch: ts is TIMESTAMP_NTZ, and epoch
+    # conversion would drag the session timezone into the semantics
+    gap = (F.col("ts") - F.lag("ts").over(w)).cast("long")
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(run).cast("long").alias("session_idx"),
+    )
+
+
+# --- time windows: tumbling daily aggregates --------------------------------------
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows per event type — the batch analog
+    of streaming/stream.streaming_metrics' windowed aggregation (native
+    date_trunc grouping; map-side partial agg applies)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# --- dedup: connected-component group assignment ------------------------------------
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUP assignment: connected components over the
+    MinHash-banded near-dup pair graph (q_minhash_neardup_pairs), each doc
+    labeled with the smallest doc_id reachable through near-dup relations
+    — what an LLM-data pipeline actually keeps/drops after pair detection.
+
+    Iterative label propagation: labels start as own id; each round every
+    node takes the min of its label and its neighbours' labels; stop at
+    fixpoint.  Rounds needed = graph diameter (near-dup components are
+    tiny cliques, so 2-3 rounds); each round is one broadcast-ready
+    equi-join + groupBy on the PAIR set (thousands of rows per billion
+    docs), never on the corpus — the driver-side loop-with-count is the
+    documented pattern for iterative algorithms over converging frames."""
+    pairs = q_minhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; near-dup cliques converge in 2-3
+        neigh = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a.alias("doc_id"))
+            .agg(F.min("group_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"), F.coalesce("neigh_min", F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("group_id").cast("long"))
+
+
 def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full LSH dedup path: minhash band buckets propose candidate pairs
     (equi-join on band_key — a shuffle on a short hash key), exact n-gram
