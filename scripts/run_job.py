@@ -31,7 +31,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", default=None, help="transcripts parquet path (default: synthetic)")
+    ap.add_argument("--input", default=None, help="transcripts feed path (default: synthetic)")
+    ap.add_argument(
+        "--input-format",
+        choices=("parquet", "json", "csv"),
+        default="parquet",
+        help="feed format; JSON/CSV read through explicit wire schemas "
+        "into the canonical transcripts schema (sources/formats.py)",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--audit", required=True)
     ap.add_argument("--watermarks", required=True)
@@ -77,7 +84,9 @@ def main() -> None:
 
         df = gen_transcripts(spark, n_convs=args.n_convs)
     else:
-        df = spark.read.parquet(args.input)
+        from ocr_corrector_spark.sources.formats import read_transcripts
+
+        df = read_transcripts(spark, args.input, format=args.input_format)
 
     run = CheckpointedRun(
         run_id=args.run_id,
