@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q.q_sessionize,
         "event_windows": q.q_event_windows,
         "dedup_groups": q.q_dedup_groups,
+        "ivf_recenter": q.q_ivf_recenter,
+        "quality_filter": q.q_quality_filter,
     }
 
 
@@ -588,6 +590,49 @@ def oracle_sql() -> dict[str, str]:
                    (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                         ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
             FROM g
+        """,
+        "ivf_recenter": """
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding AS c
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, cents.centroid_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             i -> (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE)
+                                  * (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE))), 6) AS l2
+                FROM embeddings e CROSS JOIN cents
+            ), assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rk
+                    FROM scored
+                ) WHERE rk = 1
+            )
+            SELECT a.centroid_id, (r.i - 1)::INTEGER AS dim,
+                   round(avg(e.embedding[r.i]::DOUBLE), 6) AS c
+            FROM assign a
+            JOIN embeddings e USING (vec_id), range(1, 65) r(i)
+            GROUP BY 1, 2
+        """,
+        "quality_filter": """
+            WITH s AS (
+                SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) < 20 THEN 'too_short'
+                            WHEN length(text) > 2000 THEN 'too_long'
+                            WHEN len(words) < 5 THEN 'too_few_tokens'
+                            WHEN len(list_filter(words,
+                                 x -> (x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')))::DOUBLE
+                                 / len(words) > 0.5 THEN 'stopword_heavy'
+                            WHEN length(regexp_replace(text, '[^a-z ]', '', 'g'))::DOUBLE
+                                 / length(text) < 0.95 THEN 'non_english'
+                            ELSE 'keep' END AS reason
+                FROM s
+            )
+            SELECT doc_id, reason,
+                   CASE WHEN reason = 'keep' THEN 1 ELSE 0 END AS keep
+            FROM m
         """,
         "event_windows": """
             SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,

@@ -328,6 +328,9 @@ def main() -> None:
         "ann_probe_topk",
         "ivf_probe_recall",
         "conversation_dedup",
+        "dedup_groups",
+        "sessionize",
+        "quality_filter",
         "image_stats",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats

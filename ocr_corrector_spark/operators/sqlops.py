@@ -729,6 +729,60 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
 
 
+def q_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) iteration over the IVF assignment: each
+    centroid moves to the dimension-wise mean of its assigned vectors —
+    the codebook-training step that turns the deterministic seed centroids
+    into a real quantizer.  Shape at scale: posexplode to (centroid, dim,
+    val) rows then ONE partial-aggregated groupBy — never a collect of
+    vectors; the output is K x dim rows (tiny) regardless of table size.
+    Iterating = re-running assign with the new codebook (the driver-loop
+    pattern q_dedup_groups documents)."""
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = emb.join(assign, "vec_id").select(
+        "centroid_id", F.posexplode("v").alias("dim", "val")
+    )
+    return dims.groupBy("centroid_id", "dim").agg(
+        F.round(F.avg("val"), 6).alias("c")
+    )
+
+
+QUALITY_MIN_TOKENS = 5
+QUALITY_MAX_STOPWORD_RATIO = 0.5
+QUALITY_MIN_CHARS, QUALITY_MAX_CHARS = 20, 2000
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION the quality signals exist for: per document,
+    keep/drop plus the first failing rule (too_short / too_long /
+    too_few_tokens / stopword_heavy / non_english), all native
+    expressions — the filter a training-data pipeline pushes down to the
+    scan before any expensive stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) / n_tokens
+    lang_ratio = F.length(F.regexp_replace(F.col("text"), "[^a-z ]", "")) / F.length(
+        "text"
+    )
+    reason = (
+        F.when(F.length("text") < QUALITY_MIN_CHARS, F.lit("too_short"))
+        .when(F.length("text") > QUALITY_MAX_CHARS, F.lit("too_long"))
+        .when(n_tokens < QUALITY_MIN_TOKENS, F.lit("too_few_tokens"))
+        .when(stop_ratio > QUALITY_MAX_STOPWORD_RATIO, F.lit("stopword_heavy"))
+        .when(lang_ratio < 0.95, F.lit("non_english"))
+        .otherwise(F.lit("keep"))
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "keep").cast("int").alias("keep"),
+    )
+
+
 IVF_NPROBE = 3
 
 

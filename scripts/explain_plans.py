@@ -52,7 +52,11 @@ def main() -> None:
         "ann_probe_topk",
         "ivf_probe_topk",
         "ivf_probe_recall",
+        "ivf_recenter",
         "conversation_dedup",
+        "sessionize",
+        "quality_filter",
+        "dedup_groups",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 
