@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q.q_dedup_groups,
         "ivf_recenter": q.q_ivf_recenter,
         "quality_filter": q.q_quality_filter,
+        "json_props": q.q_json_props,
+        "ivf_label_purity": q.q_ivf_label_purity,
     }
 
 
@@ -613,6 +615,47 @@ def oracle_sql() -> dict[str, str]:
             FROM assign a
             JOIN embeddings e USING (vec_id), range(1, 65) r(i)
             GROUP BY 1, 2
+        """,
+        "json_props": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+                   round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "ivf_label_purity": """
+            WITH cents AS (
+                SELECT vec_id AS centroid_id, embedding AS c
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, cents.centroid_id,
+                       round(list_sum(list_transform(range(1, 65),
+                             i -> (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE)
+                                  * (e.embedding[i]::DOUBLE - cents.c[i]::DOUBLE))), 6) AS l2
+                FROM embeddings e CROSS JOIN cents
+            ), assign AS (
+                SELECT vec_id, centroid_id FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY l2 ASC, centroid_id ASC) AS rk
+                    FROM scored
+                ) WHERE rk = 1
+            ), counts AS (
+                SELECT a.centroid_id, e.label, count(*) AS n
+                FROM assign a JOIN embeddings e USING (vec_id)
+                GROUP BY 1, 2
+            ), totals AS (
+                SELECT centroid_id, sum(n) AS n_vecs FROM counts GROUP BY 1
+            ), major AS (
+                SELECT centroid_id, label AS majority_label, n FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY centroid_id ORDER BY n DESC, label ASC) AS rk
+                    FROM counts
+                ) WHERE rk = 1
+            )
+            SELECT m.centroid_id, m.majority_label, t.n_vecs,
+                   round(m.n::DOUBLE / t.n_vecs, 4) AS purity
+            FROM major m JOIN totals t USING (centroid_id)
         """,
         "quality_filter": """
             WITH s AS (

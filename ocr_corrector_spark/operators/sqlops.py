@@ -750,6 +750,49 @@ def q_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction — events carry a JSON ``props`` string (the
+    schema-on-read sidecar every telemetry feed has): extract the typed
+    field natively (get_json_object, no UDF) and aggregate it per event
+    type.  At scale the extraction runs inside whole-stage codegen on the
+    scan output; only the grouped aggregates shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+def q_ivf_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation: per IVF centroid, the majority
+    ``label`` among assigned vectors and its purity (majority count /
+    list size) — the eval a pipeline runs after every codebook-training
+    step (q_ivf_recenter).  Ties break on the lowest label; all
+    aggregates are partial-agg friendly and the output is K rows."""
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = (
+        emb.join(assign, "vec_id")
+        .groupBy("centroid_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("n"), F.asc("label"))
+    totals = counts.groupBy("centroid_id").agg(F.sum("n").alias("n_vecs"))
+    major = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("centroid_id", F.col("label").alias("majority_label"), F.col("n"))
+    )
+    return major.join(totals, "centroid_id").select(
+        "centroid_id",
+        "majority_label",
+        "n_vecs",
+        F.round(F.col("n") / F.col("n_vecs"), 4).alias("purity"),
+    )
+
+
 QUALITY_MIN_TOKENS = 5
 QUALITY_MAX_STOPWORD_RATIO = 0.5
 QUALITY_MIN_CHARS, QUALITY_MAX_CHARS = 20, 2000
