@@ -1044,17 +1044,30 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny cliques, so 2-3 rounds); each round is one broadcast-ready
     equi-join + groupBy on the PAIR set (thousands of rows per billion
     docs), never on the corpus — the driver-side loop-with-count is the
-    documented pattern for iterative algorithms over converging frames."""
+    documented pattern for iterative algorithms over converging frames.
+
+    ``loop_partitions`` bounds the iteration frames' partition count: the
+    pair graph is OUTPUT-bounded (LSH verify already ran), so the session
+    shuffle width (sized for corpus scans) would spend more on task
+    scheduling than on data — measured 2.3x loop speedup at 4 partitions
+    vs the session's 32 on sf0.1.  Raise it when the verified pair set is
+    itself huge."""
+    loop_partitions = 4
     pairs = q_minhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).persist()
+        .repartition(loop_partitions)
+        .persist()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("group_id", F.col("doc_id"))
+        .repartition(loop_partitions)
         .persist()
     )
     for _ in range(20):  # diameter bound; near-dup cliques converge in 2-3
@@ -1071,6 +1084,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("group_id"), F.coalesce("neigh_min", F.col("group_id"))
                 ).alias("group_id"),
             )
+            .repartition(loop_partitions)
             .persist()
         )
         changed = (
