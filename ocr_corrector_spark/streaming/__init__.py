@@ -1,4 +1,4 @@
 from .stateful import assemble_conversations
-from .stream import streaming_correct, streaming_metrics
+from .stream import streaming_correct, streaming_dedup, streaming_metrics
 
-__all__ = ["streaming_correct", "streaming_metrics", "assemble_conversations"]
+__all__ = ["streaming_correct", "streaming_dedup", "streaming_metrics", "assemble_conversations"]

@@ -35,6 +35,22 @@ def streaming_correct(stream_df: DataFrame, spark: SparkSession, **pipeline_kwar
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once turns from an at-least-once feed: drop replayed rows
+    by key within the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — state for a key is held only
+    until the watermark passes it, so state size is bounded by the
+    watermark window's key cardinality, never by stream history; plain
+    streaming dropDuplicates would keep every key forever)."""
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def streaming_metrics(
     corrected: DataFrame,
     window: str = "1 minute",

@@ -98,3 +98,30 @@ def test_streaming_lm_backend_matches_batch_lm(spark, stream_input, tmp_path):
         .collect()
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_streaming_dedup_drops_replays(spark, stream_input, tmp_path):
+    """At-least-once feed: replayed (conv_id, turn_idx) rows within the
+    watermark are dropped — output equals the batch distinct-by-key."""
+    from ocr_corrector_spark.streaming import streaming_dedup
+
+    in_dir, schema = stream_input
+    base = spark.read.parquet(in_dir)
+    dup_dir = str(tmp_path / "dup_in")
+    # every row written twice (a replayed micro-batch)
+    base.unionByName(base).write.mode("overwrite").parquet(dup_dir)
+
+    src = spark.readStream.schema(schema).parquet(dup_dir)
+    out_dir = str(tmp_path / "out_dd")
+    q = (
+        streaming_dedup(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == base.count()
+    assert got.select("conv_id", "turn_idx").distinct().count() == base.count()
