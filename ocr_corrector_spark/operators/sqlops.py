@@ -958,21 +958,21 @@ def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.event_type,
         ).alias("events")
     )
-    docs = seqs.select(
-        "user_id", _word_ngrams(F.col("events")).alias("grams")
-    ).filter(F.size("grams") > 0)
-    sigs = (
-        docs.select("user_id", F.explode("grams").alias("g"))
-        .groupBy("user_id")
-        .agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(s), F.col("g")))).alias(f"mh_{s}")
-                for s in MINHASH_SEEDS
-            ]
-        )
+    # inline explode + one groupBy building signature and gram set together
+    # (see q_minhash_neardup_pairs: alias-then-explode defeats projection
+    # collapse and re-evaluates the gram transform per consumer)
+    gram_rows = seqs.select(
+        "user_id", F.explode(_word_ngrams(F.col("events"))).alias("g")
+    )
+    keyed = gram_rows.groupBy("user_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.col("g")))).alias(f"mh_{s}")
+            for s in MINHASH_SEEDS
+        ],
+        F.collect_set("g").alias("grams"),
     )
     band = F.concat_ws("|", *[F.col(f"mh_{s}") for s in MINHASH_SEEDS])
-    keyed = sigs.select("user_id", band.alias("band_key")).join(docs, "user_id")
+    keyed = keyed.select("user_id", band.alias("band_key"), "grams")
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,
@@ -1070,31 +1070,30 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(loop_partitions)
         .persist()
     )
+    prev_cached = labels
     for _ in range(20):  # diameter bound; near-dup cliques converge in 2-3
         neigh = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a.alias("doc_id"))
             .agg(F.min("group_id").alias("neigh_min"))
         )
-        new_labels = (
+        # one join per round: the convergence check (any neigh_min below the
+        # current label?) reads the same joined frame the update projects
+        # from, so no second labels-vs-new-labels compare join is needed
+        joined = (
             labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("group_id"), F.coalesce("neigh_min", F.col("group_id"))
-                ).alias("group_id"),
-            )
             .repartition(loop_partitions)
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
+        changed = joined.filter(F.col("neigh_min") < F.col("group_id")).count()
+        labels = joined.select(
+            "doc_id",
+            F.least(
+                F.col("group_id"), F.coalesce("neigh_min", F.col("group_id"))
+            ).alias("group_id"),
         )
-        labels.unpersist()
-        labels = new_labels
+        prev_cached.unpersist()
+        prev_cached = joined
         if changed == 0:
             break
     edges.unpersist()
@@ -1108,24 +1107,37 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that replaces q_ngram_jaccard's O(n²) cross join at scale: the
     all-pairs work never happens, and skewed bucket sizes are bounded by
     the banding scheme (full 4-hash signature ⇒ only near-identical docs
-    share a bucket)."""
-    docs = (
+    share a bucket).
+
+    Plan shape: the gram expression is exploded INLINE (aliasing the array
+    in one projection and exploding the column in the next defeats
+    projection collapse and re-evaluates the whole n-gram transform per
+    consumer — measured 12x on the gram stage), and ONE groupBy builds
+    both the 4-seed signature and the distinct gram set (collect_set), so
+    there is no join back to the documents scan."""
+    gram_rows = (
         load_table(spark, sf_dir, "documents")
-        .select("doc_id", _word_ngrams(F.split("text", " ")).alias("grams"))
-        .filter(F.size("grams") > 0)
-    )
-    sigs = (
-        docs.select("doc_id", F.explode("grams").alias("g"))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(s), F.col("g")))).alias(f"mh_{s}")
-                for s in MINHASH_SEEDS
-            ]
+        # spread the gram/md5 work across the session's cores: the bench
+        # tables are single parquet files (one input split), and without
+        # this the whole signature computation runs on one task
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(_word_ngrams(F.split("text", " "))).alias("g"),
         )
     )
+    # docs with <n words produce no gram rows and drop out here, matching
+    # the previous filter(size(grams) > 0); collect_set matches the
+    # array_distinct in _word_ngrams (only set sizes feed the Jaccard)
+    keyed = gram_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.col("g")))).alias(f"mh_{s}")
+            for s in MINHASH_SEEDS
+        ],
+        F.collect_set("g").alias("grams"),
+    )
     band = F.concat_ws("|", *[F.col(f"mh_{s}") for s in MINHASH_SEEDS])
-    keyed = sigs.select("doc_id", band.alias("band_key")).join(docs, "doc_id")
+    keyed = keyed.select("doc_id", band.alias("band_key"), "grams")
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,
