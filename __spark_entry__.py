@@ -72,6 +72,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q.q_quality_filter,
         "json_props": q.q_json_props,
         "ivf_label_purity": q.q_ivf_label_purity,
+        "pack_sequences": q.q_pack_sequences,
+        "stratified_sample": q.q_stratified_sample,
+        "tfidf_top_terms": q.q_tfidf_top_terms,
+        "decontaminate": q.q_decontaminate,
+        "group_representative": q.q_group_representative,
     }
 
 
@@ -224,14 +229,14 @@ def _ann_probe_sql() -> str:
     """
 
 
-def _ngrams_sql(split: str) -> str:
-    """DuckDB word-3-gram macro over an arbitrary list expression (matches
+def _ngrams_sql(split: str, n: int = 3) -> str:
+    """DuckDB word-n-gram macro over an arbitrary list expression (matches
     sqlops._word_ngrams)."""
+    parts = " || ' ' || ".join(f"{split}[i+{k + 1}]" for k in range(n))
     return (
-        f"list_distinct(CASE WHEN len({split}) >= 3 THEN "
-        f"list_transform(range(0, len({split}) - 2), "
-        f"i -> {split}[i+1] || ' ' || {split}[i+2] "
-        f"|| ' ' || {split}[i+3]) "
+        f"list_distinct(CASE WHEN len({split}) >= {n} THEN "
+        f"list_transform(range(0, len({split}) - {n - 1}), "
+        f"i -> {parts}) "
         "ELSE [] END)"
     )
 
@@ -779,5 +784,99 @@ def oracle_sql() -> dict[str, str]:
                    round(avg((doc_id * 7 + 3 * x + 5 * y + 170) % 256), 6) AS mean_b
             FROM px
             GROUP BY doc_id, width, height
+        """,
+        "pack_sequences": """
+            SELECT doc_id, source, n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+            FROM (
+                SELECT doc_id, source,
+                       len(string_split(text, ' '))::BIGINT AS n_tokens,
+                       SUM(len(string_split(text, ' '))::BIGINT)
+                           OVER (PARTITION BY source ORDER BY doc_id) AS cum
+                FROM documents
+            )
+        """,
+        "stratified_sample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                           % 100 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, lang, bucket FROM b
+            WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        """,
+        "tfidf_top_terms": """
+            WITH words AS (
+                SELECT doc_id, u.w
+                FROM documents, unnest(string_split(text, ' ')) AS u(w)
+                WHERE length(u.w) > 0
+            ), tf AS (
+                SELECT doc_id, w, count(*)::BIGINT AS tf
+                FROM words GROUP BY doc_id, w
+            ), df AS (
+                SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w
+            ), total AS (
+                SELECT count(*)::DOUBLE AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.w AS term, tf.tf,
+                       round(tf.tf * ln(total.n_docs / df.df), 4) AS tfidf
+                FROM tf JOIN df USING (w) CROSS JOIN total
+            )
+            SELECT doc_id, term, tf, tfidf, rk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 3
+        """,
+        "decontaminate": f"""
+            WITH g5 AS (
+                SELECT doc_id, source,
+                       {_ngrams_sql("string_split(text, ' ')", n=5)} AS grams
+                FROM documents
+            ), eg AS (
+                SELECT DISTINCT u.g FROM g5, unnest(grams) AS u(g)
+                WHERE source = 'src0'
+            ), tg AS (
+                SELECT doc_id, u.g FROM g5, unnest(grams) AS u(g)
+                WHERE source <> 'src0'
+            ), shared AS (
+                SELECT tg.doc_id, count(DISTINCT tg.g)::BIGINT AS n_shared
+                FROM tg JOIN eg USING (g) GROUP BY tg.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_shared, 0)::BIGINT AS n_shared_grams,
+                   CASE WHEN COALESCE(s.n_shared, 0) > 0
+                        THEN 1 ELSE 0 END AS contaminated
+            FROM documents d LEFT JOIN shared s USING (doc_id)
+            WHERE d.source <> 'src0'
+        """,
+        "group_representative": f"""
+            WITH RECURSIVE base AS (
+                SELECT doc_a, doc_b FROM ({_minhash_pairs_sql()})
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM base
+                UNION ALL
+                SELECT doc_b, doc_a FROM base
+            ), nodes AS (
+                SELECT DISTINCT a AS doc_id FROM edges
+            ), reach(doc_id, r) AS (
+                SELECT doc_id, doc_id FROM nodes
+                UNION
+                SELECT reach.doc_id, e.b FROM reach JOIN edges e ON reach.r = e.a
+            ), labels AS (
+                SELECT doc_id, min(r)::BIGINT AS group_id
+                FROM reach GROUP BY doc_id
+            ), j AS (
+                SELECT l.doc_id, l.group_id,
+                       len(string_split(d.text, ' '))::BIGINT AS n_tokens
+                FROM labels l JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, group_id, n_tokens,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY group_id
+                       ORDER BY n_tokens DESC, doc_id ASC) = 1
+                        THEN 1 ELSE 0 END AS keep
+            FROM j
         """,
     }

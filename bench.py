@@ -331,6 +331,10 @@ def main() -> None:
         "dedup_groups",
         "sessionize",
         "quality_filter",
+        "pack_sequences",
+        "tfidf_top_terms",
+        "decontaminate",
+        "group_representative",
         "image_stats",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats

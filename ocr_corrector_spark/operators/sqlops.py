@@ -1152,3 +1152,167 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.round(jac, 4).alias("jaccard"),
     ).filter(F.col("jaccard") >= 0.30)
+
+
+# --- training-data assembly: token-budget sequence packing -------------------------
+PACK_BUDGET_TOKENS = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    deterministic (doc_id) order within each source shard and split into
+    PACK_BUDGET_TOKENS-sized context windows; a document belongs to the
+    pack its first token lands in — the standard pretraining packing
+    shape.  Pure window functions (running token sum per source), one
+    shuffle on the shard key.  Packing is per-shard BY DESIGN: shards are
+    independent training streams, so no global (single-reducer) ordering
+    is ever needed — at 100TB each source partition packs in parallel and
+    a hot shard splits by date/bucket the same way."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    d = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET_TOKENS))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+# --- training-data assembly: deterministic stratified sampling ---------------------
+SAMPLE_RATE_EN, SAMPLE_RATE_OTHER = 50, 20  # percent
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling with a DETERMINISTIC hash gate: a doc is
+    kept iff md5(doc_id) mod 100 falls under its stratum's rate (en 50%,
+    other languages 20%).  No rand(), no sampleBy: the same doc is kept
+    in every run and on every cluster layout, the decision is a pure
+    row-local expression (no shuffle at all — Catalyst keeps it in the
+    scan stage), and changing a stratum's rate only moves the threshold,
+    keeping the retained set nested (rate 20 ⊂ rate 50)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(SAMPLE_RATE_EN)).otherwise(
+        F.lit(SAMPLE_RATE_OTHER)
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+    )
+
+
+# --- text analysis: per-document TF-IDF top terms ----------------------------------
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K terms per document by TF-IDF (tf * ln(N/df)).  The document
+    frequency table is vocabulary-sized — tiny relative to the corpus at
+    any scale — so it broadcasts; the per-doc ranking is a window over
+    the (doc, term) aggregate.  Ordering uses the ROUNDED score (ties
+    broken by term) so ranks are reproducible across engines/libm."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+    )
+
+
+# --- training-data hygiene: benchmark decontamination ------------------------------
+DECON_NGRAM = 5
+DECON_EVAL_SOURCE = "src0"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word-5-gram with the held-out evaluation set (source == src0).  The
+    eval gram set is distinct'd and BROADCAST — eval suites are tiny
+    relative to a 100TB corpus — so the membership test is a map-side
+    hash probe on the training gram stream; no corpus-vs-corpus shuffle
+    exists in the plan.  Grams are exploded inline (see
+    q_minhash_neardup_pairs on alias-then-explode)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    is_eval = F.col("source") == DECON_EVAL_SOURCE
+    eval_grams = (
+        docs.filter(is_eval)
+        .select(
+            F.explode(_word_ngrams(F.split("text", " "), n=DECON_NGRAM)).alias("g")
+        )
+        .distinct()
+    )
+    train_grams = docs.filter(~is_eval).select(
+        "doc_id", F.explode(_word_ngrams(F.split("text", " "), n=DECON_NGRAM)).alias("g")
+    )
+    shared = (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# --- dedup: representative selection per near-dup group ----------------------------
+def q_group_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP decision after near-dup grouping: within each connected
+    component (q_dedup_groups), keep the longest document (token count,
+    ties to the smallest doc_id) and drop the rest — what a pipeline
+    actually writes back after dedup.  The label set is pair-graph-sized
+    (output-bounded, tiny vs the corpus), so the quality join broadcasts
+    and the per-group ranking windows over a frame of near-dup members
+    only."""
+    labels = q_dedup_groups(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    j = labels.join(docs, "doc_id")
+    win = Window.partitionBy("group_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "group_id",
+        "n_tokens",
+        (F.row_number().over(win) == 1).cast("int").alias("keep"),
+    )

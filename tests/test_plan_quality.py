@@ -71,3 +71,26 @@ def test_image_stats_scan_reads_only_doc_id(spark):
     plan = _plan(q_image_stats(spark, SF_DIR))
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and "doc_id" in read[0] and "text" not in read[0]
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    # the eval-suite gram set must broadcast: a shuffle join of the
+    # training gram stream against the (tiny) eval set would put a 100TB
+    # shuffle where a map-side hash probe belongs
+    plan = _plan(sqlops.q_decontaminate(spark, SF_DIR))
+    assert "Broadcast" in plan
+
+
+def test_tfidf_broadcasts_df_table(spark):
+    # the document-frequency table is vocabulary-sized; both it and the
+    # single-row total must broadcast into the tf stream
+    plan = _plan(sqlops.q_tfidf_top_terms(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2 or plan.count("Broadcast") >= 2
+
+
+def test_stratified_sample_is_scan_local(spark):
+    # the sampling gate is a pure row-local expression: no Exchange (and
+    # no Python stage) may appear anywhere in the plan
+    plan = _plan(sqlops.q_stratified_sample(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan
