@@ -57,6 +57,11 @@ def main() -> None:
         "sessionize",
         "quality_filter",
         "dedup_groups",
+        "pack_sequences",
+        "stratified_sample",
+        "tfidf_top_terms",
+        "decontaminate",
+        "group_representative",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 
