@@ -77,6 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q.q_tfidf_top_terms,
         "decontaminate": q.q_decontaminate,
         "group_representative": q.q_group_representative,
+        "repetition_score": q.q_repetition_score,
+        "pii_scrub": q.q_pii_scrub,
+        "bpe_pair_counts": q.q_bpe_pair_counts,
+        "domain_mix_sample": q.q_domain_mix_sample,
+        "column_profile": q.q_column_profile,
     }
 
 
@@ -878,5 +883,88 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_tokens DESC, doc_id ASC) = 1
                         THEN 1 ELSE 0 END AS keep
             FROM j
+        """,
+        "repetition_score": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 3
+            ), ix AS (
+                SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w
+            ), g AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+                FROM ix
+            ), pg AS (
+                SELECT doc_id, g, count(*)::BIGINT AS cnt
+                FROM g GROUP BY doc_id, g
+            )
+            SELECT doc_id,
+                   sum(cnt)::BIGINT AS n_grams,
+                   count(*)::BIGINT AS n_distinct,
+                   max(cnt)::BIGINT AS max_gram_count,
+                   round(1.0 - count(*)::DOUBLE / sum(cnt), 4) AS dup_frac,
+                   CASE WHEN round(1.0 - count(*)::DOUBLE / sum(cnt), 4) <= 0.20
+                        THEN 1 ELSE 0 END AS keep
+            FROM pg GROUP BY doc_id
+        """,
+        "pii_scrub": """
+            SELECT event_id,
+                   regexp_replace(
+                       lower(regexp_replace(props, '[0-9]+', '<num>', 'g')),
+                       '\\s+', ' ', 'g') AS scrubbed,
+                   length(props)::BIGINT AS len_raw,
+                   length(regexp_replace(
+                       lower(regexp_replace(props, '[0-9]+', '<num>', 'g')),
+                       '\\s+', ' ', 'g'))::BIGINT AS len_scrubbed
+            FROM events
+        """,
+        "bpe_pair_counts": """
+            WITH w AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE len(string_split(text, ' ')) >= 2
+            ), ix AS (
+                SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+            ), p AS (
+                SELECT ws[i] || ' ' || ws[i+1] AS pair FROM ix
+            ), c AS (
+                SELECT pair, count(*)::BIGINT AS cnt
+                FROM p GROUP BY pair HAVING count(*) >= 2
+            )
+            SELECT pair, cnt, rk FROM (
+                SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+                FROM c
+            ) WHERE rk <= 50
+        """,
+        "domain_mix_sample": f"""
+            WITH c AS (
+                SELECT source, count(*)::BIGINT AS n_src
+                FROM documents GROUP BY source
+            ), t AS (
+                SELECT count(*)::BIGINT AS n_total FROM documents
+            ), r AS (
+                SELECT source,
+                       round(least(1.0,
+                           (CASE WHEN source = 'src0' THEN 0.30
+                                 WHEN source = 'src1' THEN 0.20
+                                 ELSE {(1.0 - 0.5) / 18.0!r} END)
+                           * n_total / n_src), 6) AS keep_rate
+                FROM c CROSS JOIN t
+            )
+            SELECT d.doc_id, d.source, r.keep_rate,
+                   CASE WHEN ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                             % 1000000
+                             < CAST(FLOOR(r.keep_rate * 1000000) AS BIGINT)
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d JOIN r USING (source)
+        """,
+        "column_profile": """
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   round(avg(n_chars), 4) AS mean_chars,
+                   min(n_chars)::BIGINT AS min_chars,
+                   max(n_chars)::BIGINT AS max_chars,
+                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+                   sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+                   count(DISTINCT lang)::BIGINT AS n_langs
+            FROM documents GROUP BY source
         """,
     }

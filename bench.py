@@ -335,6 +335,11 @@ def main() -> None:
         "tfidf_top_terms",
         "decontaminate",
         "group_representative",
+        "repetition_score",
+        "pii_scrub",
+        "bpe_pair_counts",
+        "domain_mix_sample",
+        "column_profile",
         "image_stats",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats

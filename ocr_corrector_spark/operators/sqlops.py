@@ -1316,3 +1316,192 @@ def q_group_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(win) == 1).cast("int").alias("keep"),
     )
+
+
+def _word_ngrams_all(words, n: int):
+    """All word n-grams WITH multiplicity (no array_distinct) — the shape
+    repetition analysis needs; `_word_ngrams` dedups for set-similarity."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- training-data hygiene: intra-document repetition (Gopher-style) ---------------
+REPEAT_NGRAM = 3
+REPEAT_MAX_DUP_FRAC = 0.20
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signal (the Gopher/MassiveText duplicate
+    n-gram rule): per document, the fraction of word-3-gram occurrences
+    that are repeats of an earlier gram (1 - distinct/total), the hottest
+    gram's occurrence count, and the keep decision dup_frac <=
+    REPEAT_MAX_DUP_FRAC.  Repetition is a property of ONE row, so the
+    whole computation is row-local array algebra inside the scan stage —
+    no explode, no shuffle, nothing keyed — and the plan stays a single
+    WholeStageCodegen map at any corpus size (the per-doc distinct×total
+    gram comparison is bounded by document length, i.e. O(len²) CPU on
+    the longest document, not a corpus-wide (doc, gram) aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = _word_ngrams_all(words, REPEAT_NGRAM)
+    d = docs.filter(F.size(words) >= REPEAT_NGRAM).select(
+        "doc_id", grams.alias("gs")
+    )
+    n_grams = F.size("gs").cast("long")
+    n_distinct = F.size(F.array_distinct("gs")).cast("long")
+    max_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("gs"),
+            lambda g: F.size(F.filter("gs", lambda y: y == g)),
+        )
+    ).cast("long")
+    dup_frac = F.round(F.lit(1.0) - n_distinct / n_grams, 4)
+    return d.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        max_cnt.alias("max_gram_count"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= REPEAT_MAX_DUP_FRAC).cast("int").alias("keep"),
+    )
+
+
+# --- training-data hygiene: PII/number scrubbing -----------------------------------
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub/normalize free-form payloads before they enter a training
+    set: mask every digit run as '<num>', lowercase, and collapse
+    whitespace — the number-normalization half of a PII scrub pass (the
+    regex battery extends to emails/phones the same way).  Everything is
+    native `regexp_replace`/`lower` inside WholeStageCodegen; the pass is
+    embarrassingly parallel (no shuffle at any scale).  Emits old/new
+    length so the redaction volume is auditable."""
+    ev = load_table(spark, sf_dir, "events")
+    scrubbed = F.regexp_replace(
+        F.lower(F.regexp_replace("props", "[0-9]+", "<num>")), "\\s+", " "
+    )
+    return ev.select(
+        "event_id",
+        scrubbed.alias("scrubbed"),
+        F.length("props").cast("long").alias("len_raw"),
+        F.length(scrubbed).cast("long").alias("len_scrubbed"),
+    )
+
+
+# --- tokenizer training: BPE merge-candidate pair counts ---------------------------
+BPE_PAIR_TOP_K = 50
+BPE_PAIR_MIN_COUNT = 2
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of one BPE/WordPiece merge round: corpus-wide
+    frequencies of ADJACENT symbol pairs (here word bigrams WITH
+    multiplicity), ranked to surface the next merge candidates.  The
+    aggregate is vocabulary^2-bounded — corpus-size-independent — and
+    map-side-combines before its single shuffle; the HAVING floor prunes
+    the long tail before the global top-K rank, which therefore orders a
+    small aggregated table, not the corpus.  Pairs travel as (w1, w2)
+    STRUCTS until after the aggregation — the display string is built
+    for the ~vocab² surviving rows only, not once per corpus position
+    (4.4x at sf0.1); (w1 ASC, w2 ASC) ties equal 'pair' ASC because the
+    separator sorts below every word character."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(ws, 1, F.size(ws) - 1), F.slice(ws, 2, F.size(ws) - 1)
+            )
+        ).alias("p")
+    )
+    counted = (
+        pairs.groupBy(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= BPE_PAIR_MIN_COUNT)
+    )
+    win = Window.orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= BPE_PAIR_TOP_K)
+        .select(F.concat_ws(" ", "w1", "w2").alias("pair"), "cnt", "rk")
+    )
+
+
+# --- training-data assembly: domain-mixture resampling -----------------------------
+MIX_TARGETS = {"src0": 0.30, "src1": 0.20}  # remaining mass spread uniformly
+
+
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample each source toward a target
+    corpus share (DoReMi-style reweighting, deterministic).  Per-source
+    keep rate = min(1, target_share * N_total / n_source) — computed from
+    a per-source count table that is sources-cardinality-sized and
+    BROADCAST; the keep decision is the same md5 gate as
+    q_stratified_sample (row-local, reproducible across runs and cluster
+    layouts, nested under rate changes).  Upweighting past the available
+    data caps at 1 and is visible in the emitted keep_rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    share = F.when(
+        F.col("source") == "src0", F.lit(MIX_TARGETS["src0"])
+    ).when(F.col("source") == "src1", F.lit(MIX_TARGETS["src1"])).otherwise(
+        F.lit((1.0 - sum(MIX_TARGETS.values())) / 18.0)
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0), share * F.col("n_total") / F.col("n_src")
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(1000000),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id",
+            "source",
+            "keep_rate",
+            (bucket < F.floor(F.col("keep_rate") * 1000000).cast("long"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+# --- data profiling: per-source column statistics ----------------------------------
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data profile — the pre-flight stats pass a pipeline
+    runs before committing a source to training: row count, length
+    mean/min/max, EXACT interpolated median, token volume, and language
+    cardinality.  One map-side-combined aggregation keyed by source.
+    Exact `percentile` gathers each group's values on its reducer — fine
+    while groups fit an executor; at 100TB swap it for
+    `approx_percentile(n_chars, 0.5, 10000)` (same plan shape, bounded
+    state) and keep this exact form as the small-scale oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )

@@ -62,6 +62,11 @@ def main() -> None:
         "tfidf_top_terms",
         "decontaminate",
         "group_representative",
+        "repetition_score",
+        "pii_scrub",
+        "bpe_pair_counts",
+        "domain_mix_sample",
+        "column_profile",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

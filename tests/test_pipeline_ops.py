@@ -89,3 +89,65 @@ def test_group_representative_exactly_one_keep_per_group(spark):
         assert len(kept) == 1, gid
         best = max(members, key=lambda r: (r.n_tokens, -r.doc_id))
         assert kept[0].doc_id == best.doc_id
+
+
+def test_repetition_score_bounds_and_keep_rule(spark):
+    rows = sqlops.q_repetition_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct <= r.n_grams
+        assert 1 <= r.max_gram_count <= r.n_grams
+        assert 0.0 <= r.dup_frac < 1.0
+        assert (r.dup_frac <= sqlops.REPEAT_MAX_DUP_FRAC) == (r.keep == 1)
+    # the synthetic corpus draws from a small vocabulary: some doc repeats
+    assert any(r.max_gram_count > 1 for r in rows)
+
+
+def test_pii_scrub_masks_every_digit(spark):
+    rows = sqlops.q_pii_scrub(spark, SF_DIR).collect()
+    assert rows
+    assert any("<num>" in r.scrubbed for r in rows)
+    for r in rows:
+        assert not any(c.isdigit() for c in r.scrubbed), r.scrubbed
+        assert r.len_scrubbed == len(r.scrubbed)
+        assert r.scrubbed == r.scrubbed.lower()
+
+
+def test_bpe_pair_counts_ranked_dense(spark):
+    rows = sorted(
+        sqlops.q_bpe_pair_counts(spark, SF_DIR).collect(), key=lambda r: r.rk
+    )
+    assert rows and len(rows) <= sqlops.BPE_PAIR_TOP_K
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c >= sqlops.BPE_PAIR_MIN_COUNT for c in counts)
+    assert all(len(r.pair.split(" ")) == 2 for r in rows)
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    out = sqlops.q_domain_mix_sample(spark, SF_DIR)
+    rows = out.collect()
+    again = rows == out.collect()
+    assert again
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    # upweighted sources cap at rate 1.0 and keep everything
+    for src in ("src0", "src1"):
+        assert all(r.keep_rate == 1.0 and r.keep == 1 for r in by_src[src]), src
+    # downsampled sources achieve roughly their rate (md5 gate, small n)
+    other = [r for s, rs in by_src.items() if s not in ("src0", "src1") for r in rs]
+    assert 0 < sum(r.keep for r in other) < len(other)
+    for r in other:
+        assert 0.0 < r.keep_rate < 1.0
+
+
+def test_column_profile_consistency(spark):
+    rows = sqlops.q_column_profile(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.min_chars <= r.median_chars <= r.max_chars
+        assert r.min_chars <= r.mean_chars <= r.max_chars
+        assert r.n_docs > 0 and r.n_tokens >= r.n_docs
+        assert r.n_langs >= 1

@@ -94,3 +94,26 @@ def test_stratified_sample_is_scan_local(spark):
     plan = _plan(sqlops.q_stratified_sample(spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_pii_scrub_is_scan_local(spark):
+    # scrubbing is embarrassingly parallel: no Exchange, no Python stage
+    plan = _plan(sqlops.q_pii_scrub(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_domain_mix_broadcasts_rate_table(spark):
+    # the per-source keep-rate table is sources-cardinality-sized and must
+    # broadcast into the corpus scan — a shuffle join keyed on source
+    # would also be badly skewed at scale
+    plan = _plan(sqlops.q_domain_mix_sample(spark, SF_DIR))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_repetition_score_is_scan_local(spark):
+    # repetition is a per-row property: the whole score must stay inside
+    # the scan stage — no Exchange, no explode-driven Generate, no Python
+    plan = _plan(sqlops.q_repetition_score(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan and "Python" not in plan
