@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q.q_bpe_pair_counts,
         "domain_mix_sample": q.q_domain_mix_sample,
         "column_profile": q.q_column_profile,
+        "asof_join": q.q_asof_join,
+        "range_join": q.q_range_join,
+        "incremental_dedup": q.q_incremental_dedup,
     }
 
 
@@ -955,6 +958,56 @@ def oracle_sql() -> dict[str, str]:
                              < CAST(FLOOR(r.keep_rate * 1000000) AS BIGINT)
                         THEN 1 ELSE 0 END AS keep
             FROM documents d JOIN r USING (source)
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   (SELECT r.value FROM events r
+                    WHERE r.user_id = l.user_id AND r.event_type = 'view'
+                      AND r.ts <= l.ts
+                    ORDER BY r.ts DESC, r.event_id DESC
+                    LIMIT 1) AS last_view_value,
+                   (SELECT r.ts FROM events r
+                    WHERE r.user_id = l.user_id AND r.event_type = 'view'
+                      AND r.ts <= l.ts
+                    ORDER BY r.ts DESC, r.event_id DESC
+                    LIMIT 1) AS last_view_ts
+            FROM events l
+            WHERE l.event_type = 'purchase'
+        """,
+        "range_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   count(r.ts)::BIGINT AS n_views_24h
+            FROM events l LEFT JOIN events r
+              ON r.user_id = l.user_id AND r.event_type = 'view'
+                 AND r.ts < l.ts AND r.ts >= l.ts - INTERVAL 24 HOURS
+            WHERE l.event_type = 'purchase'
+            GROUP BY l.event_id, l.user_id, l.ts
+        """,
+        "incremental_dedup": f"""
+            WITH g AS (
+                SELECT doc_id, {_ngrams_sql("string_split(text,' ')")} AS grams
+                FROM documents
+            ), sigs AS (
+                SELECT doc_id, {_minhash_sig_sql()}
+                FROM g WHERE len(grams) > 0
+            ), keyed AS (
+                SELECT s.doc_id,
+                       mh_s1 || '|' || mh_s2 || '|' || mh_s3 || '|' || mh_s4 AS band_key,
+                       g.grams
+                FROM sigs s JOIN g USING (doc_id)
+            ), cand AS (
+                SELECT nb.doc_id AS new_doc, ix.doc_id AS index_doc,
+                       len(list_intersect(nb.grams, ix.grams)) AS inter,
+                       len(nb.grams) + len(ix.grams)
+                           - len(list_intersect(nb.grams, ix.grams)) AS uni
+                FROM keyed nb JOIN keyed ix
+                  ON nb.band_key = ix.band_key
+                WHERE nb.doc_id % 10 = 0 AND ix.doc_id % 10 <> 0
+            )
+            SELECT new_doc, index_doc,
+                   round(inter::DOUBLE / uni, 4) AS jaccard
+            FROM cand
+            WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.30
         """,
         "column_profile": """
             SELECT source,

@@ -340,6 +340,9 @@ def main() -> None:
         "bpe_pair_counts",
         "domain_mix_sample",
         "column_profile",
+        "asof_join",
+        "range_join",
+        "incremental_dedup",
         "image_stats",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats

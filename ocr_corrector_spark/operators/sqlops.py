@@ -1485,6 +1485,146 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temporal joins: as-of (point-in-time) join ------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — attach to every purchase the user's most recent view
+    at or before it (point-in-time correctness, the lookup a feature
+    store / attribution pipeline needs).  Spark has no ASOF JOIN;
+    the scalable recomposition is UNION + ORDERED WINDOW: tag both
+    streams, sort each user's merged timeline once, and carry the last
+    non-null view forward with last_value(ignoreNulls).  One shuffle
+    keyed by user_id, O(n log n) per user — never the O(n·m)
+    inequality join a naive formulation produces.  Views sort before
+    same-timestamp purchases (tag order), and ties among views break by
+    event_id so the pick is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("double").alias("v_value"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("tag"),
+        F.col("value").alias("v_value"),
+        F.col("ts").alias("v_ts"),
+    )
+    merged = purchases.unionByName(views)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "tag",
+            F.last("v_value", ignorenulls=True).over(w).alias("last_view_value"),
+            F.last("v_ts", ignorenulls=True).over(w).alias("last_view_ts"),
+        )
+        .filter(F.col("tag") == 1)
+        .drop("tag")
+    )
+
+
+# --- temporal joins: bounded time-range join ---------------------------------------
+RANGE_JOIN_WINDOW_HOURS = 24
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join — per purchase, how many of the user's views
+    fell in the preceding 24 hours.  A raw θ-join (r.ts BETWEEN l.ts-24h
+    AND l.ts) is a nested-loop at any scale; the Spark-first shape is
+    BIN BUCKETING: both sides key by (user_id, floor(epoch/window)), the
+    left probes its own bin and the previous one (any right row within
+    one window length lands in one of the two), the join is a pure
+    equi-join, and the exact interval predicate filters the candidates.
+    Bucket ids only gate candidate generation — the final predicate
+    compares timestamps directly, so no epoch-origin/timezone assumption
+    leaks into results."""
+    window_s = RANGE_JOIN_WINDOW_HOURS * 3600
+    ev = load_table(spark, sf_dir, "events")
+    bin_of = lambda c: F.floor(F.unix_timestamp(c) / window_s)  # noqa: E731
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(F.array(bin_of("ts"), bin_of("ts") - 1)).alias("bin"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        bin_of("ts").alias("r_bin"),
+    )
+    hits = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("bin") == F.col("r_bin"))
+        & (F.col("r_ts") < F.col("ts"))
+        & (
+            F.col("r_ts")
+            >= F.col("ts") - F.expr(f"INTERVAL {RANGE_JOIN_WINDOW_HOURS} HOURS")
+        ),
+        "left",
+    )
+    return hits.groupBy("event_id", "user_id", "ts").agg(
+        F.count("r_ts").cast("long").alias("n_views_24h")
+    )
+
+
+# --- dedup: incremental (new batch vs corpus index) --------------------------------
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: match an ARRIVING batch (doc_id % 10
+    == 0, ~10%) against the EXISTING corpus index on MinHash band keys,
+    verifying candidates with exact n-gram Jaccard — the production
+    shape where each day's increment is checked against an
+    already-materialized signature index instead of re-deduping the
+    whole corpus.  The increment is tiny relative to the corpus, so its
+    signed batch BROADCASTS and the index is probed map-side: the 100TB
+    corpus is never shuffled, only scanned (and in production the index
+    side is a pre-computed table, not recomputed — recomputed here so
+    the query is self-contained)."""
+    gram_rows = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(_word_ngrams(F.split("text", " "))).alias("g"),
+        )
+    )
+    keyed = gram_rows.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(s), F.col("g")))).alias(f"mh_{s}")
+            for s in MINHASH_SEEDS
+        ],
+        F.collect_set("g").alias("grams"),
+    )
+    band = F.concat_ws("|", *[F.col(f"mh_{s}") for s in MINHASH_SEEDS])
+    keyed = keyed.select("doc_id", band.alias("band_key"), "grams")
+    is_new = F.col("doc_id") % 10 == 0
+    index = keyed.filter(~is_new).alias("ix")
+    batch = F.broadcast(keyed.filter(is_new)).alias("nb")
+    cand = batch.join(index, F.col("nb.band_key") == F.col("ix.band_key"))
+    inter = F.size(F.array_intersect(F.col("nb.grams"), F.col("ix.grams")))
+    union = F.size(F.col("nb.grams")) + F.size(F.col("ix.grams")) - inter
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return cand.select(
+        F.col("nb.doc_id").alias("new_doc"),
+        F.col("ix.doc_id").alias("index_doc"),
+        F.round(jac, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.30)
+
+
 # --- data profiling: per-source column statistics ----------------------------------
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data profile — the pre-flight stats pass a pipeline

@@ -67,6 +67,9 @@ def main() -> None:
         "bpe_pair_counts",
         "domain_mix_sample",
         "column_profile",
+        "asof_join",
+        "range_join",
+        "incremental_dedup",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

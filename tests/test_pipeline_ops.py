@@ -151,3 +151,56 @@ def test_column_profile_consistency(spark):
         assert r.min_chars <= r.mean_chars <= r.max_chars
         assert r.n_docs > 0 and r.n_tokens >= r.n_docs
         assert r.n_langs >= 1
+
+
+def test_asof_join_point_in_time(spark):
+    from ocr_corrector_spark.sources.tables import load_table
+
+    rows = sqlops.q_asof_join(spark, SF_DIR).collect()
+    purchases = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(rows) == purchases  # every purchase emitted exactly once
+    assert any(r.last_view_value is not None for r in rows)
+    for r in rows:
+        # point-in-time: the attached view never comes from the future,
+        # and value/ts are attached as a consistent pair
+        if r.last_view_ts is not None:
+            assert r.last_view_ts <= r.ts
+            assert r.last_view_value is not None
+        else:
+            assert r.last_view_value is None
+
+
+def test_range_join_counts_against_brute_force(spark):
+    from datetime import timedelta
+
+    from ocr_corrector_spark.sources.tables import load_table
+
+    out = {r.event_id: r.n_views_24h for r in sqlops.q_range_join(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").collect()
+    views = {}
+    for e in ev:
+        if e.event_type == "view":
+            views.setdefault(e.user_id, []).append(e.ts)
+    checked = 0
+    for e in ev:
+        if e.event_type != "purchase" or e.event_id % 37:
+            continue  # spot-check a deterministic subset
+        lo = e.ts - timedelta(hours=sqlops.RANGE_JOIN_WINDOW_HOURS)
+        expect = sum(1 for t in views.get(e.user_id, ()) if lo <= t < e.ts)
+        assert out[e.event_id] == expect, e.event_id
+        checked += 1
+    assert checked > 5
+    assert any(v > 0 for v in out.values())
+
+
+def test_incremental_dedup_splits_sides(spark):
+    rows = sqlops.q_incremental_dedup(spark, SF_DIR).collect()
+    assert rows, "synthetic corpus contains near-dups across the split"
+    for r in rows:
+        assert r.new_doc % 10 == 0
+        assert r.index_doc % 10 != 0
+        assert r.jaccard >= 0.30

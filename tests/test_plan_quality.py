@@ -111,6 +111,28 @@ def test_domain_mix_broadcasts_rate_table(spark):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
 
 
+def test_asof_join_single_shuffle_no_nested_loop(spark):
+    # the union+window recomposition must plan as ONE hash exchange on
+    # user_id plus a sort — never a nested-loop/theta join
+    plan = _plan(sqlops.q_asof_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_range_join_is_equi_join(spark):
+    # bin bucketing must turn the interval predicate into an equi-join;
+    # a BroadcastNestedLoopJoin means the θ-join leaked into the plan
+    plan = _plan(sqlops.q_range_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan, plan
+
+
+def test_incremental_dedup_broadcasts_the_batch(spark):
+    # the arriving batch is tiny vs the corpus index: it must broadcast
+    # so the index side is probed map-side, never shuffled
+    plan = _plan(sqlops.q_incremental_dedup(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_repetition_score_is_scan_local(spark):
     # repetition is a per-row property: the whole score must stay inside
     # the scan stage — no Exchange, no explode-driven Generate, no Python
