@@ -1,4 +1,15 @@
 from .stateful import assemble_conversations
-from .stream import streaming_correct, streaming_dedup, streaming_metrics
+from .stream import (
+    streaming_correct,
+    streaming_dedup,
+    streaming_interval_join,
+    streaming_metrics,
+)
 
-__all__ = ["streaming_correct", "streaming_dedup", "streaming_metrics", "assemble_conversations"]
+__all__ = [
+    "streaming_correct",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_metrics",
+    "assemble_conversations",
+]
