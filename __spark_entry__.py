@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
         "incremental_dedup": q.q_incremental_dedup,
+        "pq_codes": q.q_pq_codes,
+        "curation_pipeline": q.q_curation_pipeline,
     }
 
 
@@ -292,7 +294,7 @@ def oracle_sql() -> dict[str, str]:
     ngrams = _ngrams_sql("string_split(text,' ')")
     ev_ngrams = _ngrams_sql("string_split(event_seq, ',')")
     minhash_sig = _minhash_sig_sql()
-    return {
+    d = {
         "err_positions": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
             SELECT doc_id,
@@ -1009,6 +1011,35 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE uni > 0 AND round(inter::DOUBLE / uni, 4) >= 0.30
         """,
+        "pq_codes": """
+            WITH e AS (
+                SELECT vec_id, embedding AS v FROM embeddings
+            ), ms AS (
+                SELECT unnest(range(0, 4)) AS subspace
+            ), sub AS (
+                SELECT e.vec_id, ms.subspace,
+                       v[ms.subspace*16+1 : ms.subspace*16+16] AS sv
+                FROM e CROSS JOIN ms
+            ), csub AS (
+                SELECT e.vec_id AS code, ms.subspace,
+                       v[ms.subspace*16+1 : ms.subspace*16+16] AS cv
+                FROM e CROSS JOIN ms
+                WHERE e.vec_id < 8
+            ), scored AS (
+                SELECT s.vec_id, s.subspace::BIGINT AS subspace,
+                       c.code::BIGINT AS code,
+                       round(list_sum(list_transform(range(1, 17),
+                           i -> (s.sv[i]::DOUBLE - c.cv[i]::DOUBLE)
+                                * (s.sv[i]::DOUBLE - c.cv[i]::DOUBLE))), 6) AS l2
+                FROM sub s JOIN csub c USING (subspace)
+            )
+            SELECT vec_id, subspace, code, l2 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id, subspace
+                    ORDER BY l2 ASC, code ASC) AS rk
+                FROM scored
+            ) WHERE rk = 1
+        """,
         "column_profile": """
             SELECT source,
                    count(*)::BIGINT AS n_docs,
@@ -1021,3 +1052,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
     }
+    # the curation capstone composes the already-defined stage oracles, so
+    # the composed SQL can never drift from the per-stage definitions
+    d["curation_pipeline"] = f"""
+        WITH q AS (
+            SELECT doc_id FROM ({d["quality_filter"]}) WHERE keep = 1
+        ), dk AS (
+            SELECT doc_id FROM ({d["decontaminate"]}) WHERE contaminated = 0
+        ), rdrop AS (
+            SELECT doc_id FROM ({d["group_representative"]}) WHERE keep = 0
+        ), surv AS (
+            SELECT doc_id FROM q
+            INTERSECT SELECT doc_id FROM dk
+            EXCEPT SELECT doc_id FROM rdrop
+        ), base AS (
+            SELECT d.doc_id, d.source,
+                   len(string_split(d.text, ' '))::BIGINT AS n_tokens
+            FROM documents d JOIN surv USING (doc_id)
+        ), packed AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+            FROM base
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        FROM packed
+    """
+    return d

@@ -343,6 +343,8 @@ def main() -> None:
         "asof_join",
         "range_join",
         "incremental_dedup",
+        "pq_codes",
+        "curation_pipeline",
         "image_stats",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats

@@ -1625,6 +1625,112 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("jaccard") >= 0.30)
 
 
+# --- capstone: the full curation pipeline as ONE declarative plan ------------------
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation as one composed plan: documents
+    that (1) pass the quality rules, (2) share no 5-gram with the eval
+    suite, and (3) are not the dropped members of a near-dup group, laid
+    out into token-budget packs per source shard.  Each stage is the
+    already-oracle-checked operator (q_quality_filter, q_decontaminate,
+    q_group_representative, q_pack_sequences' window) — the point of this
+    query is that they COMPOSE into a single Catalyst plan: quality is a
+    scan-stage filter, the decontamination probe and the drop-list
+    anti-join are broadcasts (eval-suite-sized and pair-graph-sized),
+    and the only wide stages are the dedup machinery's own aggregations
+    plus one per-shard packing window.  A user runs the whole curation
+    flow as one DataFrame, and Catalyst schedules it."""
+    docs = load_table(spark, sf_dir, "documents")
+    q_keep = (
+        q_quality_filter(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    d_keep = (
+        q_decontaminate(spark, sf_dir)
+        .filter(F.col("contaminated") == 0)
+        .select("doc_id")
+    )
+    r_drop = (
+        q_group_representative(spark, sf_dir)
+        .filter(F.col("keep") == 0)
+        .select("doc_id")
+    )
+    surv = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .join(q_keep, "doc_id")
+        .join(d_keep, "doc_id")
+        .join(F.broadcast(r_drop), "doc_id", "left_anti")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return surv.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET_TOKENS))
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+# --- similarity: product-quantization codes ----------------------------------------
+PQ_M = 4  # subspaces (EMB_DIM/PQ_M dims each)
+PQ_K = 8  # sub-centroids per subspace
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each embedding splits into PQ_M contiguous
+    subvectors and each subvector is assigned to its nearest sub-centroid
+    (codebook = the first PQ_K vectors' slices, the same deterministic
+    stand-in q_ivf_assign uses) — compressing a vector to PQ_M small
+    codes, the memory layout ANN systems pair with IVF at billion-vector
+    scale (an IVF-PQ index).  The codebook is PQ_M x PQ_K subvectors —
+    tiny and BROADCAST; assignment is a per-row argmin (row_number over
+    (vec_id, subspace)), so the table scans once and nothing wide ever
+    carries full vectors.  Emits the per-subspace quantization error so
+    codebook quality is auditable."""
+    dim_per = EMB_DIM // PQ_M
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    slices = F.array(
+        *[F.slice("v", m * dim_per + 1, dim_per) for m in range(PQ_M)]
+    )
+    sub = emb.select(
+        "vec_id", F.posexplode(slices).alias("subspace", "sv")
+    )
+    cent_sub = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), F.posexplode(slices).alias("subspace", "cv"))
+    )
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    scored = sub.join(F.broadcast(cent_sub), "subspace").select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+        l2.alias("l2"),
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.asc("l2"), F.asc("code")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
 # --- data profiling: per-source column statistics ----------------------------------
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data profile — the pre-flight stats pass a pipeline

@@ -70,6 +70,8 @@ def main() -> None:
         "asof_join",
         "range_join",
         "incremental_dedup",
+        "pq_codes",
+        "curation_pipeline",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

@@ -197,6 +197,39 @@ def test_range_join_counts_against_brute_force(spark):
     assert any(v > 0 for v in out.values())
 
 
+def test_curation_pipeline_composes_stage_decisions(spark):
+    rows = sqlops.q_curation_pipeline(spark, SF_DIR).collect()
+    assert rows
+    kept = {r.doc_id for r in rows}
+    # every stage's drop decision is honored in the composed output
+    q_drop = {
+        r.doc_id
+        for r in sqlops.q_quality_filter(spark, SF_DIR).collect()
+        if r.keep == 0
+    }
+    contaminated = {
+        r.doc_id
+        for r in sqlops.q_decontaminate(spark, SF_DIR).collect()
+        if r.contaminated == 1
+    }
+    g_drop = {
+        r.doc_id
+        for r in sqlops.q_group_representative(spark, SF_DIR).collect()
+        if r.keep == 0
+    }
+    assert not (kept & (q_drop | contaminated | g_drop))
+    # packing invariant holds over the surviving set
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // sqlops.PACK_BUDGET_TOKENS, source
+            cum += r.n_tokens
+
+
 def test_incremental_dedup_splits_sides(spark):
     rows = sqlops.q_incremental_dedup(spark, SF_DIR).collect()
     assert rows, "synthetic corpus contains near-dups across the split"

@@ -126,6 +126,13 @@ def test_range_join_is_equi_join(spark):
     assert "NestedLoop" not in plan, plan
 
 
+def test_pq_codes_broadcasts_codebook(spark):
+    # the PQ codebook (PQ_M x PQ_K subvectors) must broadcast so code
+    # assignment is a map-side argmin over the single embeddings scan
+    plan = _plan(sqlops.q_pq_codes(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_incremental_dedup_broadcasts_the_batch(spark):
     # the arriving batch is tiny vs the corpus index: it must broadcast
     # so the index side is probed map-side, never shuffled
