@@ -87,6 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q.q_incremental_dedup,
         "pq_codes": q.q_pq_codes,
         "curation_pipeline": q.q_curation_pipeline,
+        "link_extract": q.q_link_extract,
+        "domain_stats": q.q_domain_stats,
+        "link_graph": q.q_link_graph,
+        "markdownify": q.q_markdownify,
+        "lm_perplexity": q.q_lm_perplexity,
+        "length_histogram": q.q_length_histogram,
     }
 
 
@@ -1078,4 +1084,122 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
         FROM packed
     """
+    d.update(_markup_sql())
+    d["lm_perplexity"] = """
+        WITH d2 AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 2
+        ), bg AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM d2, unnest(range(1, len(ws))) AS r(i)
+        ), v AS (
+            SELECT count(DISTINCT u.w) AS v
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+        ), uni AS (
+            SELECT w1, count(*) AS cu FROM bg GROUP BY w1
+        ), bi AS (
+            SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+        )
+        SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+               round(avg(-ln((bi.cb + 0.5) / (uni.cu + 0.5 * v.v))), 6)
+                   AS avg_nll
+        FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        GROUP BY bg.doc_id
+    """
+    d["length_histogram"] = """
+        SELECT (length(bin(n_chars)) - 1)::BIGINT AS log2_bucket,
+               count(*)::BIGINT AS n_docs,
+               min(n_chars)::BIGINT AS min_chars,
+               max(n_chars)::BIGINT AS max_chars
+        FROM documents WHERE n_chars > 0
+        GROUP BY log2_bucket
+    """
     return d
+
+
+def _markup_sql() -> dict[str, str]:
+    """Oracles for the markup-extraction group.  The page string is
+    rebuilt in SQL from the SAME Python template constants the Spark
+    queries use (imported here, not retyped), so template drift breaks
+    the oracle loudly instead of silently."""
+    from ocr_corrector_spark.operators.sqlops import (
+        LINK_GRAPH_MOD,
+        LINK_PATHS,
+        LINK_SITES,
+        LINKS_PER_DOC,
+    )
+    from ocr_corrector_spark.sources.transcripts import _HTML_PREFIX, _HTML_SUFFIX
+
+    link_parts = []
+    for k in range(LINKS_PER_DOC):
+        h = f"md5(doc_id::VARCHAR || ':{k}')"
+        site = f"(('0x' || substring({h}, 1, 4))::BIGINT % {LINK_SITES})::VARCHAR"
+        path = f"(('0x' || substring({h}, 5, 6))::BIGINT % {LINK_PATHS})::VARCHAR"
+        link_parts.append(
+            f"' <a href=\"https://site-' || {site} || '.example.com/doc/' || "
+            f"{path} || '\">ref-{k}</a>'"
+        )
+    page = (
+        f"'{_HTML_PREFIX}' || text || "
+        + " || ".join(link_parts)
+        + f" || '{_HTML_SUFFIX}'"
+    )
+    a_tag = '<a href="([^"]*)">([^<]*)</a>'
+    links = f"""
+        WITH pages AS (
+            SELECT doc_id, {page} AS html FROM documents
+        ), ex AS (
+            SELECT doc_id,
+                   regexp_extract_all(html, '{a_tag}', 1) AS hrefs,
+                   regexp_extract_all(html, '{a_tag}', 2) AS anchors
+            FROM pages
+        ), links AS (
+            SELECT doc_id, i AS link_pos, hrefs[i] AS href, anchors[i] AS anchor
+            FROM ex, unnest(range(1, len(hrefs) + 1)) AS r(i)
+        )"""
+    edge_dst = (
+        "('0x' || substring(md5(d.doc_id::VARCHAR || '>' || k.k::VARCHAR), 1, 8))"
+        f"::BIGINT % {LINK_GRAPH_MOD}"
+    )
+    ks = ", ".join(str(k) for k in range(LINKS_PER_DOC))
+    return {
+        "link_extract": links + "\n        SELECT doc_id, link_pos, href, anchor FROM links",
+        "domain_stats": links
+        + """
+        SELECT regexp_extract(href, 'https://([^/]+)', 1) AS host,
+               count(*)::BIGINT AS n_links,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM links WHERE href LIKE 'https://%'
+        GROUP BY host
+        """,
+        "link_graph": f"""
+            WITH e0 AS (
+                SELECT DISTINCT d.doc_id AS src, {edge_dst} AS dst
+                FROM documents d, unnest([{ks}]) AS k(k)
+            ), edges AS (
+                SELECT e0.src, e0.dst
+                FROM e0 JOIN documents t ON t.doc_id = e0.dst
+            ), od AS (
+                SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+            )
+            SELECT e.dst AS doc_id,
+                   count(*)::BIGINT AS in_degree,
+                   round(0.15 + 0.85 * sum(1.0 / od.outdeg), 6) AS rank_1
+            FROM edges e JOIN od USING (src)
+            GROUP BY e.dst
+        """,
+        "markdownify": f"""
+            WITH pages AS (
+                SELECT doc_id, {page} AS html FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(html,
+                            '<head>.*?</head>', '', 'g'),
+                            '<nav[^>]*>.*?</nav>', '', 'g'),
+                            '<footer[^>]*>.*?</footer>', '', 'g'),
+                            '{a_tag}', '[\\2](\\1)', 'g'),
+                            '<[^>]+>', '', 'g')) AS md
+            FROM pages
+        """,
+    }

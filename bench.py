@@ -346,6 +346,12 @@ def main() -> None:
         "pq_codes",
         "curation_pipeline",
         "image_stats",
+        "link_extract",
+        "domain_stats",
+        "link_graph",
+        "markdownify",
+        "lm_perplexity",
+        "length_histogram",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats
 

@@ -1751,3 +1751,229 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
     )
+
+
+# --- markup extraction (2): links, domains, link graph, markdown -------------------
+# The extraction tier of a web-scale pipeline doesn't stop at main-content
+# text: the same pages yield the LINK layer (anchor inventory, per-domain
+# stats, the doc->doc graph) and a markdown rendering that preserves link
+# structure for training data.  Pages are synthesized deterministically
+# from `documents` (template + md5-derived absolute links), so a DuckDB
+# oracle reproduces every byte; extraction itself is native regexp over
+# the page string — JVM-side, scan-stage, no UDF.
+LINKS_PER_DOC = 3
+LINK_SITES = 97
+LINK_PATHS = 1000
+LINK_GRAPH_MOD = 500
+_A_TAG_RE = '<a href="([^"]*)">([^<]*)</a>'
+
+
+def _page_html(doc_id, text):
+    """The synthetic page: boilerplate template wrapping the body plus
+    LINKS_PER_DOC md5-derived absolute links (site/path deterministic in
+    doc_id, reproducible in ANSI SQL via the '0x'||substr(md5(..)) cast)."""
+    from ..sources.transcripts import _HTML_PREFIX, _HTML_SUFFIX
+
+    parts = [F.lit(_HTML_PREFIX), text]
+    for k in range(LINKS_PER_DOC):
+        h = F.md5(F.concat(doc_id.cast("string"), F.lit(f":{k}")))
+        site = F.pmod(F.conv(F.substring(h, 1, 4), 16, 10).cast("long"), F.lit(LINK_SITES))
+        path = F.pmod(F.conv(F.substring(h, 5, 6), 16, 10).cast("long"), F.lit(LINK_PATHS))
+        parts.append(
+            F.concat(
+                F.lit(' <a href="https://site-'),
+                site.cast("string"),
+                F.lit(".example.com/doc/"),
+                path.cast("string"),
+                F.lit(f'">ref-{k}</a>'),
+            )
+        )
+    parts.append(F.lit(_HTML_SUFFIX))
+    return F.concat(*parts)
+
+
+def _links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, link_pos, href, anchor) — every anchor tag on every page
+    (template nav/footer links + the generated absolute ones), extracted
+    by ONE regexp pass per group over the page string."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _page_html(F.col("doc_id"), F.col("text")).alias("html"))
+    ex = pages.select(
+        "doc_id",
+        F.regexp_extract_all("html", F.lit(_A_TAG_RE), 1).alias("hrefs"),
+        F.regexp_extract_all("html", F.lit(_A_TAG_RE), 2).alias("anchors"),
+    )
+    z = ex.select("doc_id", F.posexplode(F.arrays_zip("hrefs", "anchors")))
+    return z.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("long").alias("link_pos"),
+        F.col("col.hrefs").alias("href"),
+        F.col("col.anchors").alias("anchor"),
+    )
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor inventory of the synthetic pages: per doc, the ordered
+    (href, anchor-text) pairs — nav/footer template links and the three
+    generated absolute links.  Pure scan-stage regexp + posexplode; the
+    only wide op is none at all (row-local), so it scales with the scan."""
+    return _links_df(spark, sf_dir)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain link rollup over the extracted absolute links — the
+    crawl-frontier / per-site stats pass.  Host comes from the native
+    parse_url expression (JVM-side); one map-side-combined groupBy on a
+    LINK_SITES-bounded key, so the shuffle is domain-cardinality-sized
+    regardless of corpus size."""
+    links = _links_df(spark, sf_dir).filter(F.col("href").startswith("https://"))
+    host = F.parse_url(F.col("href"), F.lit("HOST"))
+    return (
+        links.select("doc_id", host.alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step over the md5-derived doc->doc
+    edge set (src = doc_id, dst = md5(src:k) % LINK_GRAPH_MOD, distinct,
+    restricted to existing docs).  outdeg is computed by a keyed agg on
+    src, contributions 1/outdeg flow along edges, and the receiving agg
+    emits in_degree + rank_1 = 0.15 + 0.85 * sum(contrib) — the classic
+    two-shuffle PageRank step (agg on src, agg on dst); nothing is
+    broadcast because both sides are corpus-sized, and that is the right
+    plan at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ks = F.array(*[F.lit(k) for k in range(LINKS_PER_DOC)])
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), F.explode(ks).alias("k"))
+        .select(
+            "src",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("src").cast("string"),
+                                F.lit(">"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(LINK_GRAPH_MOD),
+            ).alias("dst"),
+        )
+        .distinct()
+        .join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        edges.join(outdeg, "src")
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("in_degree"),
+            F.round(0.15 + 0.85 * F.sum(1.0 / F.col("outdeg")), 6).alias("rank_1"),
+        )
+    )
+
+
+def q_markdownify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> markdown rendering that PRESERVES link structure — the
+    extraction flavor used when curation wants documents with their
+    citations intact rather than bare main text.  A fixed chain of native
+    regexp_replace passes: drop head, drop the nav/footer boilerplate
+    blocks, rewrite anchors to [text](href), strip remaining tags, trim.
+    Entirely row-local scan-stage work."""
+    docs = load_table(spark, sf_dir, "documents")
+    md = _page_html(F.col("doc_id"), F.col("text"))
+    md = F.regexp_replace(md, "<head>.*?</head>", "")
+    md = F.regexp_replace(md, "<nav[^>]*>.*?</nav>", "")
+    md = F.regexp_replace(md, "<footer[^>]*>.*?</footer>", "")
+    md = F.regexp_replace(md, _A_TAG_RE, "[$2]($1)")
+    md = F.regexp_replace(md, "<[^>]+>", "")
+    return docs.select("doc_id", F.trim(md).alias("md"))
+
+
+# --- quality scoring: corpus bigram-LM perplexity ----------------------------------
+NGRAM_LM_ALPHA = 0.5
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal with NO model artifact: a bigram LM
+    with add-alpha smoothing is estimated from the corpus itself (two
+    vocabulary-bounded count aggregations), then every document is scored
+    by its average bigram negative log-likelihood and perplexity.  The
+    count tables are vocab- and bigram-vocab-sized — tiny next to the
+    corpus — so scoring is the exploded bigram stream passing through two
+    BROADCAST joins plus one doc_id agg; the corpus is never shuffled by
+    token.  At open-web scale the raw vocabulary outgrows a broadcast:
+    apply a frequency cutoff (hapaxes fold into an <unk> row, the
+    standard KenLM pruning) before the join, keeping the same plan
+    shape.  P(w2|w1) = (c(w1,w2)+a) / (c(w1)+a*V), c(w1) counted over
+    histories so probabilities sum to 1 per history."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    docs = docs.filter(F.size("ws") >= 2)
+    w1s = F.slice("ws", 1, F.size("ws") - 1)
+    w2s = F.slice("ws", 2, F.size("ws") - 1)
+    pairs = F.zip_with(
+        w1s, w2s, lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    a = NGRAM_LM_ALPHA
+    nll = -F.log(
+        (F.col("cb") + F.lit(a)) / (F.col("cu") + F.lit(a) * F.col("v"))
+    )
+    return (
+        bg.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )
+
+
+# --- data profiling (2): exact log2 length histogram -------------------------------
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram in powers-of-two buckets — the shape chart a
+    pipeline consults before choosing packing budgets and partition
+    sizing.  The bucket is floor(log2(n_chars)) computed EXACTLY via the
+    binary-representation length (string ops on integers), not floating
+    log2, so Spark and the SQL oracle can never disagree at a power-of-
+    two boundary.  One map-side-combined agg on a ~log2(max_len)-valued
+    key."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )

@@ -72,6 +72,12 @@ def main() -> None:
         "incremental_dedup",
         "pq_codes",
         "curation_pipeline",
+        "link_extract",
+        "domain_stats",
+        "link_graph",
+        "markdownify",
+        "lm_perplexity",
+        "length_histogram",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

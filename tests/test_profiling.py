@@ -1,0 +1,49 @@
+"""Bigram-LM perplexity + exact log2 length histogram: structural
+invariants and the broadcast plan shape (values are pinned by the DuckDB
+oracle pairs in tests/test_entry_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from ocr_corrector_spark.operators import sqlops
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lm_perplexity_scores_every_multiword_doc(spark):
+    out = sqlops.q_lm_perplexity(spark, SF_DIR)
+    rows = out.collect()
+    docs = sqlops.load_table(spark, SF_DIR, "documents")
+    n_multi = docs.filter("size(split(text, ' ')) >= 2").count()
+    assert len(rows) == n_multi
+    # smoothing keeps every probability in (0, 1): nll strictly positive,
+    # and bounded above by the unseen-pair ceiling ln((cu + a*V)/a)
+    assert all(r.avg_nll > 0 for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
+
+
+def test_lm_perplexity_count_tables_broadcast(spark):
+    # the corpus-sized bigram stream must pass through BROADCAST joins
+    # against the vocab-bounded count tables — a shuffle join here would
+    # reshuffle the whole corpus by token at 100TB
+    plan = _plan(sqlops.q_lm_perplexity(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_length_histogram_buckets_exact(spark):
+    rows = sqlops.q_length_histogram(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # bucket boundaries are exact powers of two
+        assert 2**r.log2_bucket <= r.min_chars
+        assert r.max_chars < 2 ** (r.log2_bucket + 1)
+        assert r.log2_bucket == int(math.floor(math.log2(r.min_chars)))
+    docs = sqlops.load_table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == docs.filter("n_chars > 0").count()
