@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdownify": q.q_markdownify,
         "lm_perplexity": q.q_lm_perplexity,
         "length_histogram": q.q_length_histogram,
+        "char_entropy": q.q_char_entropy,
+        "zipf_fit": q.q_zipf_fit,
     }
 
 
@@ -1113,6 +1115,35 @@ def oracle_sql() -> dict[str, str]:
                max(n_chars)::BIGINT AS max_chars
         FROM documents WHERE n_chars > 0
         GROUP BY log2_bucket
+    """
+    d["char_entropy"] = """
+        WITH ch AS (
+            SELECT doc_id, u.c, count(*)::DOUBLE AS n
+            FROM documents, unnest(string_split_regex(text, '')) AS u(c)
+            WHERE u.c != ''
+            GROUP BY doc_id, u.c
+        ), tot AS (
+            SELECT doc_id, sum(n) AS t, count(*) AS nd FROM ch GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.nd::BIGINT AS n_distinct,
+               round(-sum((ch.n / t.t) * ln(ch.n / t.t)), 6) AS entropy
+        FROM ch JOIN tot t USING (doc_id)
+        GROUP BY t.doc_id, t.nd
+    """
+    d["zipf_fit"] = """
+        WITH counts AS (
+            SELECT u.w, count(*) AS c
+            FROM documents, unnest(string_split(text, ' ')) AS u(w)
+            WHERE u.w != ''
+            GROUP BY u.w
+        ), ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+            FROM counts
+        )
+        SELECT count(*)::BIGINT AS n_vocab,
+               round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
+               round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_intercept
+        FROM ranked
     """
     return d
 

@@ -352,6 +352,8 @@ def main() -> None:
         "markdownify",
         "lm_perplexity",
         "length_histogram",
+        "char_entropy",
+        "zipf_fit",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats
 

@@ -1977,3 +1977,56 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("long").alias("max_chars"),
         )
     )
+
+
+# --- quality scoring (3): char entropy + Zipf fit ----------------------------------
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the garbage
+    detector that catches base64 blobs, mojibake, and key-mash runs that
+    word-level heuristics miss.  Computed entirely with row-local
+    higher-order array functions (distinct -> per-char count -> -sum p ln
+    p), so the plan has ZERO wide stages: entropy scoring scales with the
+    scan exactly like a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.filter(F.split("text", ""), lambda x: x != F.lit(""))
+    uniq = F.array_distinct(chars)
+    n = F.size(chars)
+    counts = F.transform(
+        uniq, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(uniq).cast("long").alias("n_distinct"),
+        F.round(entropy, 6).alias("entropy"),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health check: least-squares slope of ln(freq) against
+    ln(rank) over the word-frequency table — natural text tracks Zipf
+    (slope near -1); a synthetic or template-heavy corpus drifts.  The
+    frequency table is VOCABULARY-sized, so the global rank window and
+    the regression aggregate run over a dimension-sized frame (at
+    open-web scale: frequency-cutoff the tail first, same as
+    q_lm_perplexity's <unk> fold, before the single-partition rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.round(F.regr_slope(F.log("c"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(
+            F.regr_intercept(F.log("c"), F.log("rank")), 4
+        ).alias("zipf_intercept"),
+    )

@@ -78,6 +78,8 @@ def main() -> None:
         "markdownify",
         "lm_perplexity",
         "length_histogram",
+        "char_entropy",
+        "zipf_fit",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

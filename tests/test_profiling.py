@@ -47,3 +47,24 @@ def test_length_histogram_buckets_exact(spark):
         assert r.log2_bucket == int(math.floor(math.log2(r.min_chars)))
     docs = sqlops.load_table(spark, SF_DIR, "documents")
     assert sum(r.n_docs for r in rows) == docs.filter("n_chars > 0").count()
+
+
+def test_char_entropy_is_scan_local_and_bounded(spark):
+    df = sqlops.q_char_entropy(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    rows = df.collect()
+    docs = sqlops.load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == docs
+    for r in rows:
+        # 0 <= H <= ln(n_distinct) (uniform bound)
+        assert -1e-9 <= r.entropy <= math.log(r.n_distinct) + 1e-9, r
+
+
+def test_zipf_fit_single_dimension_frame(spark):
+    row = sqlops.q_zipf_fit(spark, SF_DIR).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_vocab >= 2
+    # more-frequent-at-lower-rank ⇒ non-positive slope
+    assert r.zipf_slope <= 0
