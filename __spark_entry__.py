@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q.q_length_histogram,
         "char_entropy": q.q_char_entropy,
         "zipf_fit": q.q_zipf_fit,
+        "dup_ngram_coverage": q.q_dup_ngram_coverage,
     }
 
 
@@ -1144,6 +1145,30 @@ def oracle_sql() -> dict[str, str]:
                round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
                round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_intercept
         FROM ranked
+    """
+    d["dup_ngram_coverage"] = """
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            WHERE len(string_split(text, ' ')) >= 5
+        ), g AS (
+            SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS gram
+            FROM d, unnest(range(1, len(ws) - 3)) AS r(i)
+        ), gc AS (
+            SELECT gram, count(*) AS n
+            FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram
+        ), dup AS (
+            SELECT gram FROM gc WHERE n > 1
+        ), tot AS (
+            SELECT doc_id, count(*) AS t FROM g GROUP BY doc_id
+        ), dd AS (
+            SELECT g.doc_id, count(*) AS dn
+            FROM g JOIN dup USING (gram) GROUP BY g.doc_id
+        )
+        SELECT tot.doc_id,
+               coalesce(dd.dn, 0)::BIGINT AS n_dup_grams,
+               tot.t::BIGINT AS n_grams,
+               round(coalesce(dd.dn, 0) / tot.t, 6) AS dup_frac
+        FROM tot LEFT JOIN dd USING (doc_id)
     """
     return d
 

@@ -354,6 +354,7 @@ def main() -> None:
         "length_histogram",
         "char_entropy",
         "zipf_fit",
+        "dup_ngram_coverage",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats
 

@@ -2030,3 +2030,54 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_intercept(F.log("c"), F.log("rank")), 4
         ).alias("zipf_intercept"),
     )
+
+
+# --- dedup (2): cross-document duplicate n-gram coverage ---------------------------
+DUPGRAM_N = 5
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of 5-grams that occur in ANY other document
+    — the cross-corpus duplication signal (FineWeb/Gopher-style dup-frac
+    filters) that complements q_repetition_score's within-document check.
+    Shape: explode 5-grams, one gram-keyed count agg, join the counts
+    back, one doc agg.  The gram-count table is corpus-scale (NOT
+    broadcastable), so the count-back join is a hash-partitioned
+    equi-join on the gram key — the unavoidable and correct plan; at
+    100TB the join input shrinks first via a count>1 semi-filter (only
+    duplicated grams re-join, typically a small minority of distinct
+    grams).  Grams are md5'd so the shuffle carries 32-byte keys, not
+    raw text."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    docs = docs.filter(F.size("ws") >= DUPGRAM_N)
+    idx = F.sequence(F.lit(1), F.size("ws") - (DUPGRAM_N - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i, DUPGRAM_N))),
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    # count each gram's distinct source docs; >1 means cross-doc duplicate
+    gcount = g.distinct().groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    dup = gcount.filter(F.col("n_docs_with") > 1).select("gram")
+    return (
+        g.join(dup, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_dup"))
+        .join(
+            g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_tot")),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.col("_tot").cast("long").alias("n_grams"),
+            F.round(F.coalesce(F.col("_dup"), F.lit(0)) / F.col("_tot"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )

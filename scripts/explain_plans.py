@@ -80,6 +80,7 @@ def main() -> None:
         "length_histogram",
         "char_entropy",
         "zipf_fit",
+        "dup_ngram_coverage",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

@@ -68,3 +68,13 @@ def test_zipf_fit_single_dimension_frame(spark):
     assert r.n_vocab >= 2
     # more-frequent-at-lower-rank ⇒ non-positive slope
     assert r.zipf_slope <= 0
+
+
+def test_dup_ngram_coverage_bounds(spark):
+    rows = sqlops.q_dup_ngram_coverage(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert abs(r.dup_frac - round(r.n_dup_grams / r.n_grams, 6)) < 1e-9
+    # the synthetic corpus repeats template phrases: some doc must dup
+    assert any(r.n_dup_grams > 0 for r in rows)
