@@ -1792,24 +1792,33 @@ def _page_html(doc_id, text):
     return F.concat(*parts)
 
 
-def _links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, link_pos, href, anchor) — every anchor tag on every page
-    (template nav/footer links + the generated absolute ones), extracted
-    by ONE regexp pass per group over the page string."""
-    docs = load_table(spark, sf_dir, "documents")
-    pages = docs.select("doc_id", _page_html(F.col("doc_id"), F.col("text")).alias("html"))
+def links_from_pages(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, link_pos, href, anchor) from a DataFrame of page strings —
+    one regexp pass per capture group, row-local, so it applies to a
+    STREAMING DataFrame unchanged (streaming/stream.py wraps it as
+    streaming_link_extract)."""
     ex = pages.select(
-        "doc_id",
-        F.regexp_extract_all("html", F.lit(_A_TAG_RE), 1).alias("hrefs"),
-        F.regexp_extract_all("html", F.lit(_A_TAG_RE), 2).alias("anchors"),
+        id_col,
+        F.regexp_extract_all(html_col, F.lit(_A_TAG_RE), 1).alias("hrefs"),
+        F.regexp_extract_all(html_col, F.lit(_A_TAG_RE), 2).alias("anchors"),
     )
-    z = ex.select("doc_id", F.posexplode(F.arrays_zip("hrefs", "anchors")))
+    z = ex.select(id_col, F.posexplode(F.arrays_zip("hrefs", "anchors")))
     return z.select(
-        "doc_id",
+        id_col,
         (F.col("pos") + 1).cast("long").alias("link_pos"),
         F.col("col.hrefs").alias("href"),
         F.col("col.anchors").alias("anchor"),
     )
+
+
+def _links_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Links of every synthetic page (template nav/footer links + the
+    generated absolute ones)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _page_html(F.col("doc_id"), F.col("text")).alias("html"))
+    return links_from_pages(pages)
 
 
 def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

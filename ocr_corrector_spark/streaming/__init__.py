@@ -3,6 +3,7 @@ from .stream import (
     streaming_correct,
     streaming_dedup,
     streaming_interval_join,
+    streaming_link_extract,
     streaming_metrics,
 )
 
@@ -10,6 +11,7 @@ __all__ = [
     "streaming_correct",
     "streaming_dedup",
     "streaming_interval_join",
+    "streaming_link_extract",
     "streaming_metrics",
     "assemble_conversations",
 ]

@@ -127,3 +127,14 @@ def streaming_interval_join(
         F.col("r.r_ts").alias("view_ts"),
         F.col("r.r_value").alias("view_value"),
     )
+
+
+def streaming_link_extract(stream_df: DataFrame) -> DataFrame:
+    """Link inventory over a STREAM of pages — the crawler-feed shape:
+    each micro-batch of (doc_id, html) rows yields its (doc_id, link_pos,
+    href, anchor) anchors via the same row-local regexp pass as the batch
+    q_link_extract, so the transform is stateless (no watermark, no state
+    store) and parity with batch is exact per page."""
+    from ..operators.sqlops import links_from_pages
+
+    return links_from_pages(stream_df)

@@ -180,3 +180,36 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         r.n_views_24h for r in sqlops.q_range_join(spark, sf_dir).collect()
     )
     assert len(streamed) == n_batch
+
+
+def test_streaming_link_extract_matches_batch(spark, tmp_path):
+    from ocr_corrector_spark.operators.sqlops import (
+        _page_html,
+        links_from_pages,
+    )
+    from ocr_corrector_spark.sources.tables import load_table
+    from ocr_corrector_spark.streaming import streaming_link_extract
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _page_html(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    in_dir = str(tmp_path / "pages")
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    src = spark.readStream.schema(pages.schema).parquet(in_dir)
+    q = (
+        streaming_link_extract(src)
+        .writeStream.format("memory")
+        .queryName("links_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM links_stream").collect()))
+    batch = sorted(map(tuple, links_from_pages(spark.read.parquet(in_dir)).collect()))
+    assert streamed == batch
+    assert len(streamed) > 0
