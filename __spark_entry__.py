@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q.q_char_entropy,
         "zipf_fit": q.q_zipf_fit,
         "dup_ngram_coverage": q.q_dup_ngram_coverage,
+        "ivfpq_topk": q.q_ivfpq_topk,
     }
 
 
@@ -1170,7 +1171,66 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(dd.dn, 0) / tot.t, 6) AS dup_frac
         FROM tot LEFT JOIN dd USING (doc_id)
     """
+    d["ivfpq_topk"] = _ivfpq_sql(d)
     return d
+
+
+def _ivfpq_sql(d: dict[str, str]) -> str:
+    """IVF-PQ serving-path oracle COMPOSED from the already-verified
+    per-stage oracles (pq_codes, ivf_assign) plus the query-side probe /
+    ADC frames, so the composition cannot drift from the stage
+    definitions (the curation_pipeline convention)."""
+    from ocr_corrector_spark.operators.sqlops import (
+        EMB_DIM,
+        IVF_K,
+        IVF_NPROBE,
+        PQ_K,
+        PQ_M,
+    )
+
+    dim = EMB_DIM // PQ_M
+    ms = ", ".join(str(m) for m in range(PQ_M))
+    return f"""
+        WITH codes AS ({d["pq_codes"]}),
+        assign AS ({d["ivf_assign"]}),
+        qprobe AS (
+            SELECT c.vec_id AS centroid_id
+            FROM embeddings c, embeddings q
+            WHERE c.vec_id < {IVF_K} AND q.vec_id = 0
+            ORDER BY round(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                     * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))), 6)
+                ASC, c.vec_id ASC
+            LIMIT {IVF_NPROBE}
+        ), qsub AS (
+            SELECT m.m AS subspace,
+                   list_transform(range(m.m * {dim} + 1, m.m * {dim} + {dim + 1}),
+                       i -> embedding[i]::DOUBLE) AS qv
+            FROM embeddings, unnest([{ms}]) AS m(m)
+            WHERE vec_id = 0
+        ), cb AS (
+            SELECT e.vec_id AS code, m.m AS subspace,
+                   list_transform(range(m.m * {dim} + 1, m.m * {dim} + {dim + 1}),
+                       i -> e.embedding[i]::DOUBLE) AS cv
+            FROM embeddings e, unnest([{ms}]) AS m(m)
+            WHERE e.vec_id < {PQ_K}
+        ), adc AS (
+            SELECT cb.subspace, cb.code,
+                   round(list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (qs.qv[i] - cb.cv[i]) * (qs.qv[i] - cb.cv[i]))), 6)
+                       AS sub_l2
+            FROM cb JOIN qsub qs USING (subspace)
+        ), cand AS (
+            SELECT a.vec_id FROM assign a JOIN qprobe USING (centroid_id)
+            WHERE a.vec_id != 0
+        )
+        SELECT codes.vec_id, round(sum(adc.sub_l2), 6) AS adc_dist
+        FROM codes JOIN cand USING (vec_id)
+        JOIN adc ON adc.subspace = codes.subspace AND adc.code = codes.code
+        GROUP BY codes.vec_id
+        ORDER BY adc_dist ASC, codes.vec_id ASC
+        LIMIT 10
+    """
 
 
 def _markup_sql() -> dict[str, str]:

@@ -355,6 +355,7 @@ def main() -> None:
         "char_entropy",
         "zipf_fit",
         "dup_ngram_coverage",
+        "ivfpq_topk",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats
 

@@ -2090,3 +2090,84 @@ def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- similarity: composed IVF-PQ ANN serving path ----------------------------------
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ serving path composed end-to-end: the query probes
+    its IVF_NPROBE nearest inverted lists (coarse quantizer), and the
+    surviving candidates are ranked by PQ ASYMMETRIC distance — the sum
+    over subspaces of ||query-subvector − candidate's sub-centroid||² read
+    from a per-query ADC lookup table of PQ_M × PQ_K entries.  This is
+    the billion-vector ANN memory layout: full vectors are touched only
+    to build the (tiny, broadcast) ADC table; candidates contribute PQ_M
+    small codes each, so the scan is bytes-per-vector, not
+    floats-per-dimension.  Candidate volume = |table| · nprobe / K, and
+    every query-side frame (probe set, ADC) is broadcast.  Per-subspace
+    distances round to 6dp before the sum (the q_pq_codes convention) so
+    the ranking is reproducible in ANSI SQL."""
+    dim_per = EMB_DIM // PQ_M
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    l2q = F.round(
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    probe_cents = (
+        cents.crossJoin(F.broadcast(qvec))
+        .select("centroid_id", l2q.alias("l2"))
+        .orderBy(F.asc("l2"), F.asc("centroid_id"))
+        .limit(IVF_NPROBE)
+        .select("centroid_id")
+    )
+    slices = F.array(
+        *[F.slice("v", m * dim_per + 1, dim_per) for m in range(PQ_M)]
+    )
+    cb = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("long").alias("code"),
+        F.posexplode(slices).alias("subspace", "cv"),
+    )
+    qsub = qvec.select(
+        F.posexplode(
+            F.array(
+                *[F.slice("q", m * dim_per + 1, dim_per) for m in range(PQ_M)]
+            )
+        ).alias("subspace", "qv")
+    )
+    sub_l2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    adc = cb.join(qsub, "subspace").select(
+        F.col("subspace").cast("long").alias("subspace"),
+        "code",
+        sub_l2.alias("sub_l2"),
+    )
+    cand = (
+        assign.join(F.broadcast(probe_cents), "centroid_id")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    codes = q_pq_codes(spark, sf_dir).select("vec_id", "subspace", "code")
+    return (
+        codes.join(cand, "vec_id", "left_semi")
+        .join(F.broadcast(adc), ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("sub_l2"), 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )

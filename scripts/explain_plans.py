@@ -81,6 +81,7 @@ def main() -> None:
         "char_entropy",
         "zipf_fit",
         "dup_ngram_coverage",
+        "ivfpq_topk",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

@@ -78,3 +78,17 @@ def test_dup_ngram_coverage_bounds(spark):
         assert abs(r.dup_frac - round(r.n_dup_grams / r.n_grams, 6)) < 1e-9
     # the synthetic corpus repeats template phrases: some doc must dup
     assert any(r.n_dup_grams > 0 for r in rows)
+
+
+def test_ivfpq_query_side_frames_broadcast(spark):
+    # the probe set and the ADC table are query-side and tiny: they must
+    # broadcast; the candidate restriction must be a semi-join on codes
+    # (the corpus-sized side) — a shuffle of full vectors would defeat
+    # the bytes-per-vector PQ scan
+    df = sqlops.q_ivfpq_topk(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 10
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
