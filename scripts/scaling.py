@@ -486,7 +486,7 @@ def main_merge(paths: list[str]) -> None:
             summary["companion_note"] = prior["companion_note"]
     if len(summary["workloads_n_turns"]) > 1:
         summary["workload_note"] = (
-            "Rounds merged across hunts at two workload sizes "
+            f"Rounds merged across hunts at {len(summary['workloads_n_turns'])} workload sizes "
             f"({', '.join(str(t) for t in summary['workloads_n_turns'])} turns); "
             "efficiency and work-invariance are scale-free same-round ratios, and "
             "each round records its own n_turns. The large-workload hunts ran in a "
