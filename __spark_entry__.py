@@ -644,7 +644,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props": """
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                    round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
             FROM events
             GROUP BY event_type
@@ -670,7 +670,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM assign a JOIN embeddings e USING (vec_id)
                 GROUP BY 1, 2
             ), totals AS (
-                SELECT centroid_id, sum(n) AS n_vecs FROM counts GROUP BY 1
+                SELECT centroid_id, sum(n)::BIGINT AS n_vecs FROM counts GROUP BY 1
             ), major AS (
                 SELECT centroid_id, label AS majority_label, n FROM (
                     SELECT *, row_number() OVER (
