@@ -1089,7 +1089,12 @@ def oracle_sql() -> dict[str, str]:
         FROM packed
     """
     d.update(_markup_sql())
-    d["lm_perplexity"] = """
+    # interpolate the SAME constants the Spark operators use (the
+    # _markup_sql/_ivfpq_sql convention) so changing NGRAM_LM_ALPHA or
+    # DUPGRAM_N in sqlops.py can never silently desync the oracle
+    from ocr_corrector_spark.operators.sqlops import DUPGRAM_N, NGRAM_LM_ALPHA
+
+    d["lm_perplexity"] = f"""
         WITH d2 AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
             WHERE len(string_split(text, ' ')) >= 2
@@ -1105,7 +1110,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
         )
         SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
-               round(avg(-ln((bi.cb + 0.5) / (uni.cu + 0.5 * v.v))), 6)
+               round(avg(-ln((bi.cb + {NGRAM_LM_ALPHA})
+                     / (uni.cu + {NGRAM_LM_ALPHA} * v.v))), 6)
                    AS avg_nll
         FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         GROUP BY bg.doc_id
@@ -1147,13 +1153,14 @@ def oracle_sql() -> dict[str, str]:
                round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_intercept
         FROM ranked
     """
-    d["dup_ngram_coverage"] = """
+    d["dup_ngram_coverage"] = f"""
         WITH d AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-            WHERE len(string_split(text, ' ')) >= 5
+            WHERE len(string_split(text, ' ')) >= {DUPGRAM_N}
         ), g AS (
-            SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS gram
-            FROM d, unnest(range(1, len(ws) - 3)) AS r(i)
+            SELECT doc_id,
+                   md5(array_to_string(ws[i:i+{DUPGRAM_N - 1}], ' ')) AS gram
+            FROM d, unnest(range(1, len(ws) - {DUPGRAM_N - 2})) AS r(i)
         ), gc AS (
             SELECT gram, count(*) AS n
             FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram

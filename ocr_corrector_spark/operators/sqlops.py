@@ -178,14 +178,42 @@ def _word_ngrams(words, n=3):
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Hard fence for the two O(n²) brute-force EVAL baselines below: they exist
+# to measure the recall of their scalable twins (q_minhash_neardup_pairs,
+# q_ann_probe_topk / q_ivfpq_topk), never as production paths.  A user who
+# lifts the id-range filter hits this guard instead of a cartesian blow-up.
+BRUTEFORCE_EVAL_MAX_ROWS = 2000
+
+
+def _bruteforce_eval_guard(df: DataFrame, query: str, scalable_twin: str) -> DataFrame:
+    """Refuse to self-join more than BRUTEFORCE_EVAL_MAX_ROWS rows.
+
+    The count is cheap by construction: the caller has already applied a
+    pushed-down id-range predicate, so parquet row-group stats prune the
+    scan to the bounded slice at any corpus size.
+    """
+    n = df.count()
+    if n > BRUTEFORCE_EVAL_MAX_ROWS:
+        raise ValueError(
+            f"{query} is an O(n^2) brute-force EVAL baseline fenced at "
+            f"{BRUTEFORCE_EVAL_MAX_ROWS} rows (got {n}); use {scalable_twin} "
+            f"for production-scale data"
+        )
+    return df
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by word-3-gram Jaccard >= 0.30 within a bounded
-    id range (the brute-force baseline; the LSH path below is the scale
-    path)."""
-    docs = (
+    """EVAL-ONLY brute-force baseline: near-duplicate pairs by word-3-gram
+    Jaccard >= 0.30 over a bounded id range.  O(n²) by design — it measures
+    the recall of the scalable twin `q_minhash_neardup_pairs` (banded LSH
+    equi-join).  Fenced by _bruteforce_eval_guard: never run it unbounded.
+    """
+    docs = _bruteforce_eval_guard(
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
-        .select("doc_id", _word_ngrams(F.split("text", " ")).alias("grams"))
+        .select("doc_id", _word_ngrams(F.split("text", " ")).alias("grams")),
+        "q_ngram_jaccard",
+        "q_minhash_neardup_pairs",
     )
     a = docs.alias("a")
     b = docs.alias("b")
@@ -499,12 +527,16 @@ def q_simhash64_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- similarity: embedding cosine near-dup pairs -------------------------------------------
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (brute force over a bounded id
-    range — the correctness baseline for the LSH path below)."""
-    emb = (
+    """EVAL-ONLY brute-force baseline: embedding-cosine near-duplicate pairs
+    over a bounded id range.  O(n²) by design — it measures the recall of
+    the scalable ANN twins (`q_ann_probe_topk`, `q_ivfpq_topk`).  Fenced by
+    _bruteforce_eval_guard: never run it unbounded."""
+    emb = _bruteforce_eval_guard(
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 150)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "q_embedding_neardup",
+        "q_ann_probe_topk / q_ivfpq_topk",
     )
 
     def dot(x, y):
@@ -1995,8 +2027,17 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-level heuristics miss.  Computed entirely with row-local
     higher-order array functions (distinct -> per-char count -> -sum p ln
     p), so the plan has ZERO wide stages: entropy scoring scales with the
-    scan exactly like a projection."""
-    docs = load_table(spark, sf_dir, "documents")
+    scan exactly like a projection.
+
+    Edge semantics pinned to the oracle: empty/null-text docs emit NO row
+    (DuckDB's unnest+GROUP BY drops them; without the filter Spark would
+    emit n_distinct=0, entropy=-0.0).  Code-point safety: Spark 4's
+    split(text, '') yields one element per Unicode code point (verified:
+    U+1F600 stays a single element), matching DuckDB string_split_regex —
+    supplementary-plane chars count once on both sides."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
     chars = F.filter(F.split("text", ""), lambda x: x != F.lit(""))
     uniq = F.array_distinct(chars)
     n = F.size(chars)

@@ -237,3 +237,24 @@ def test_incremental_dedup_splits_sides(spark):
         assert r.new_doc % 10 == 0
         assert r.index_doc % 10 != 0
         assert r.jaccard >= 0.30
+
+
+def test_bruteforce_eval_guard_fences_oversized_input(spark, monkeypatch):
+    """The two O(n²) eval baselines refuse to self-join more rows than the
+    fence allows — a user who lifts the id-range cap gets a ValueError, not
+    a cartesian blow-up."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(sqlops, "BRUTEFORCE_EVAL_MAX_ROWS", 5)
+    with _pytest.raises(ValueError, match="brute-force EVAL baseline"):
+        sqlops.q_ngram_jaccard(spark, SF_DIR).collect()
+    with _pytest.raises(ValueError, match="q_ann_probe_topk"):
+        sqlops.q_embedding_neardup(spark, SF_DIR).collect()
+
+
+def test_bruteforce_eval_guard_passes_bounded_input(spark):
+    """Under the committed cap the eval baselines still run (guard count is
+    on the pushed-down bounded slice, so this also pins that the id-range
+    predicate stayed in place)."""
+    assert sqlops.q_ngram_jaccard(spark, SF_DIR).count() >= 0
+    assert sqlops.q_embedding_neardup(spark, SF_DIR).count() >= 0

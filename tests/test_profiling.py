@@ -54,11 +54,55 @@ def test_char_entropy_is_scan_local_and_bounded(spark):
     plan = _plan(df)
     assert "Exchange" not in plan, plan
     rows = df.collect()
-    docs = sqlops.load_table(spark, SF_DIR, "documents").count()
+    docs = (
+        sqlops.load_table(spark, SF_DIR, "documents")
+        .filter("text IS NOT NULL AND length(text) > 0")
+        .count()
+    )
     assert len(rows) == docs
     for r in rows:
         # 0 <= H <= ln(n_distinct) (uniform bound)
         assert -1e-9 <= r.entropy <= math.log(r.n_distinct) + 1e-9, r
+
+
+def test_char_entropy_edge_parity_with_oracle(spark, tmp_path):
+    """Empty-text docs emit no row (matching DuckDB's unnest+GROUP BY) and
+    supplementary-plane chars count once per code point on BOTH engines —
+    the two edge cases the shared sf0.01 fixtures never exercise."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aab", "s", 3),
+            (1, "", "s", 0),                # empty: no output row
+            (2, "a\U0001F600\U0001F600b", "s", 4),  # emoji = 1 code point
+            (3, None, "s", 0),              # null: no output row
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.doc_id: (r.n_distinct, r.entropy)
+        for r in sqlops.q_char_entropy(spark, str(tmp_path)).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(entry_mod.oracle_sql()["char_entropy"]).fetchall()
+    }
+    con.close()
+
+    assert set(rows) == set(oracle) == {0, 2}
+    for doc_id in rows:
+        assert rows[doc_id][0] == oracle[doc_id][0]
+        assert abs(rows[doc_id][1] - oracle[doc_id][1]) < 1e-9
 
 
 def test_zipf_fit_single_dimension_frame(spark):
