@@ -805,17 +805,10 @@ def oracle_sql() -> dict[str, str]:
             FROM px
             GROUP BY doc_id, width, height
         """,
-        "pack_sequences": """
-            SELECT doc_id, source, n_tokens,
-                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
-            FROM (
-                SELECT doc_id, source,
-                       len(string_split(text, ' '))::BIGINT AS n_tokens,
-                       SUM(len(string_split(text, ' '))::BIGINT)
-                           OVER (PARTITION BY source ORDER BY doc_id) AS cum
-                FROM documents
-            )
-        """,
+        "pack_sequences": _pack_sql(
+            "SELECT doc_id, source, "
+            "len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents"
+        ),
         "stratified_sample": """
             WITH b AS (
                 SELECT doc_id, lang,
@@ -1079,14 +1072,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source,
                    len(string_split(d.text, ' '))::BIGINT AS n_tokens
             FROM documents d JOIN surv USING (doc_id)
-        ), packed AS (
-            SELECT doc_id, source, n_tokens,
-                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
-            FROM base
         )
-        SELECT doc_id, source, n_tokens,
-               CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
-        FROM packed
+        {_pack_sql("SELECT doc_id, source, n_tokens FROM base")}
     """
     d.update(_markup_sql())
     # interpolate the SAME constants the Spark operators use (the
@@ -1180,6 +1167,34 @@ def oracle_sql() -> dict[str, str]:
     """
     d["ivfpq_topk"] = _ivfpq_sql(d)
     return d
+
+
+def _pack_sql(base: str) -> str:
+    """Packing-layout oracle shared by pack_sequences and the curation
+    capstone, interpolating the SAME constants sqlops._pack_layout uses:
+    md5-bucket subshard, running token sum per (source, subshard), budget
+    chunking.  `base` must yield (doc_id, source, n_tokens)."""
+    from ocr_corrector_spark.operators.sqlops import (
+        PACK_BUDGET_TOKENS,
+        PACK_SUBSHARDS,
+    )
+
+    return f"""
+        SELECT doc_id, source, subshard, n_tokens,
+               CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET_TOKENS}.0)
+                    AS BIGINT) AS pack_id
+        FROM (
+            SELECT doc_id, source, subshard, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source, subshard ORDER BY doc_id) AS cum
+            FROM (
+                SELECT doc_id, source, n_tokens,
+                       ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                           % {PACK_SUBSHARDS} AS subshard
+                FROM ({base})
+            )
+        )
+    """
 
 
 def _ivfpq_sql(d: dict[str, str]) -> str:

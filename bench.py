@@ -414,6 +414,16 @@ def _scaling_evidence() -> dict | None:
         "measured_utc": sel.get("started_utc"),
         "gate": ev.get("gate", {}).get("definition"),
         "rounds_run": len(ev.get("rounds", [])),
+        # same-round paired host ceiling: the host's own busy-loop N->4N
+        # efficiency (cap_ratio/4) vs the engine's, gated rounds
+        "host_eff_gated": (ev.get("host_ceiling") or {}).get(
+            "median_host_probe_eff_gated"
+        ),
+        "eng_ge_host_gated": "%s/%s"
+        % (
+            (ev.get("host_ceiling") or {}).get("n_gated_engine_ge_host"),
+            (ev.get("host_ceiling") or {}).get("n_gated"),
+        ),
         "artifact": "BENCH/scaling_evidence.json",
     }
 
@@ -451,7 +461,7 @@ def _report(
     # the driver's stdout capture keeps only a 2000-char tail, so the final
     # printed line must stay compact or the per-round artifact loses the
     # queries map (BENCH_r03.json parsed: null).
-    full_path = os.path.join(
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_bench.json"
     )
     try:
@@ -473,7 +483,8 @@ def _report(
             k: scaling.get(k)
             for k in (
                 "median_eff_gated", "meets_target", "target", "rounds_run",
-                "work_invariance_median_gated", "artifact",
+                "work_invariance_median_gated", "host_eff_gated",
+                "eng_ge_host_gated", "artifact",
             )
         }
     compact["full_report"] = "BENCH/last_bench.json"

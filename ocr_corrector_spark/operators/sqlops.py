@@ -1190,29 +1190,55 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_BUDGET_TOKENS = 512
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-then-chunk sequence packing: documents are laid out in
-    deterministic (doc_id) order within each source shard and split into
-    PACK_BUDGET_TOKENS-sized context windows; a document belongs to the
-    pack its first token lands in — the standard pretraining packing
-    shape.  Pure window functions (running token sum per source), one
-    shuffle on the shard key.  Packing is per-shard BY DESIGN: shards are
-    independent training streams, so no global (single-reducer) ordering
-    is ever needed — at 100TB each source partition packs in parallel and
-    a hot shard splits by date/bucket the same way."""
-    docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split("text", " ")).cast("long")
-    d = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
-    w = Window.partitionBy("source").orderBy("doc_id")
+PACK_SUBSHARDS = 4
+
+
+def _pack_layout(d: DataFrame) -> DataFrame:
+    """Shared packing layout for q_pack_sequences and q_curation_pipeline:
+    running token sum per (source, subshard), chunked into
+    PACK_BUDGET_TOKENS windows.
+
+    The subshard is a DETERMINISTIC md5 bucket of doc_id (the
+    q_stratified_sample gate idiom), so a hot source never serializes onto
+    one reducer: each source splits into PACK_SUBSHARDS independent
+    training streams regardless of cluster layout, and pack membership is
+    a pure function of the data.  Input: (doc_id, source, n_tokens).
+    """
+    subshard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(PACK_SUBSHARDS),
+    )
+    d = d.withColumn("subshard", subshard)
+    w = Window.partitionBy("source", "subshard").orderBy("doc_id")
     cum = F.sum("n_tokens").over(w)
     return d.select(
         "doc_id",
         "source",
+        "subshard",
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET_TOKENS))
         .cast("long")
         .alias("pack_id"),
     )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are laid out in
+    deterministic (doc_id) order within each (source, subshard) stream and
+    split into PACK_BUDGET_TOKENS-sized context windows; a document belongs
+    to the pack its first token lands in — the standard pretraining packing
+    shape.  Pure window functions (running token sum per stream), one
+    shuffle on the stream key.  Packing is per-stream BY DESIGN: streams
+    are independent, so no global (single-reducer) ordering is ever needed
+    — and the md5 subshard (see _pack_layout) caps any single source's
+    window at 1/PACK_SUBSHARDS of its rows, so a corpus with ~20 huge
+    sources still fans out to 20×PACK_SUBSHARDS parallel reducers at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return _pack_layout(docs.select("doc_id", "source", n_tokens.alias("n_tokens")))
 
 
 # --- training-data assembly: deterministic stratified sampling ---------------------
@@ -1697,16 +1723,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d_keep, "doc_id")
         .join(F.broadcast(r_drop), "doc_id", "left_anti")
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    cum = F.sum("n_tokens").over(w)
-    return surv.select(
-        "doc_id",
-        "source",
-        "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET_TOKENS))
-        .cast("long")
-        .alias("pack_id"),
-    )
+    return _pack_layout(surv)
 
 
 # --- similarity: product-quantization codes ----------------------------------------

@@ -79,6 +79,40 @@ TARGET_EFF = 0.8
 WORK_INVARIANCE_MAX = float(os.environ.get("SCALING_WORK_INVARIANCE_MAX", "1.25"))
 
 
+def _bench_subprocess(env: dict) -> dict:
+    """Run bench.py and return its FULL report.  bench.py's stdout line is
+    compact (the driver's 2000-char tail) — the complete report (probes,
+    rep timings) goes to the file named by SPARK_GRAFT_BENCH_OUT, which we
+    point at a per-invocation temp path so concurrent benches never race."""
+    import tempfile
+
+    fd, full_out = tempfile.mkstemp(prefix="bench_full_", suffix=".json")
+    os.close(fd)
+    env = dict(env, SPARK_GRAFT_BENCH_OUT=full_out)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        try:
+            with open(full_out) as f:
+                return json.load(f)
+        except Exception:
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            return json.loads(line)
+    finally:
+        try:
+            os.unlink(full_out)
+        except OSError:
+            pass
+
+
 def run_bench(cpus: int, sf_dir: str, seed: int, reps: int = 1) -> dict:
     env = dict(
         os.environ,
@@ -90,16 +124,7 @@ def run_bench(cpus: int, sf_dir: str, seed: int, reps: int = 1) -> dict:
         SPARK_GRAFT_INPUT_DIR=INPUT_DIR,
         SPARK_GRAFT_SKIP_QUERIES="1",
     )
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=REPO,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    return _bench_subprocess(env)
 
 
 def run_full_bench(cpus: int, sf_dir: str) -> dict:
@@ -113,16 +138,7 @@ def run_full_bench(cpus: int, sf_dir: str) -> dict:
     )
     env.pop("SPARK_GRAFT_SKIP_QUERIES", None)
     env.pop("SPARK_GRAFT_SCALE_MULT", None)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=REPO,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    return _bench_subprocess(env)
 
 
 def prepare_input(sf_dir: str, n_seeds: int) -> None:
@@ -212,6 +228,11 @@ def run_round(n: int, sf_dir: str, seed: int) -> dict:
         "cap_probes_N_post": b_post["hw_capacity_probes"],
         "stability": round(stability, 4),
         "cap_ratio": round(cap_ratio, 3),
+        # the host's OWN scaling for a coordination-free busy loop in this
+        # round's window: burn throughput at 4N workers / (4 x at N).  The
+        # engine cannot beat the host's deliverable-CPU ratio; eff >= this
+        # means zero engine-added scaling overhead.
+        "host_probe_eff": round(cap_ratio / 4, 3),
         "raw_efficiency": round(eff, 3),
         "cpu_sec_N_pre": round(cpu_n_pre, 1),
         "cpu_sec_4N": round(cpu_4n, 1),
@@ -280,6 +301,28 @@ def write_baseline_md(summary: dict) -> None:
         f"| median raw efficiency — all rounds | {summary['median_eff_all']} |",
         f"| best raw efficiency — all rounds (supporting detail) | {summary['best_eff_all']} |",
     ]
+    hc = summary.get("host_ceiling") or {}
+    if hc.get("n_gated"):
+        wi_blk = hc.get("gated_wi_le_1p1", {})
+        lines += [
+            "",
+            "**Host ceiling (same-round paired comparison)**: cap_ratio/4 is the",
+            "host's OWN N→4N scaling efficiency for a coordination-free Python",
+            "busy loop, measured by the probes bracketing the engine's timed reps",
+            "in the SAME round.  No workload — including an embarrassingly",
+            "parallel loop with zero shuffles, zero JVM, zero coordination — can",
+            "scale past the host's CPU-delivery ratio; an engine that matches or",
+            "beats it adds NO scaling overhead of its own.",
+            "",
+            "| host-ceiling metric | value |",
+            "|---|---|",
+            f"| median host busy-loop efficiency — gated rounds | {hc['median_host_probe_eff_gated']} |",
+            f"| median host busy-loop efficiency — all rounds | {hc['median_host_probe_eff_all']} |",
+            f"| median (engine eff − host busy-loop eff), gated | {hc['median_eng_minus_host_gated']} |",
+            f"| gated rounds where engine ≥ host busy-loop | {hc['n_gated_engine_ge_host']} / {hc['n_gated']} |",
+            f"| gated ∧ work-invariance ≤ 1.1: engine ≥ host | {wi_blk.get('n_engine_ge_host')} / {wi_blk.get('n')} |",
+            f"| · their median engine eff / host busy-loop eff | {wi_blk.get('median_eff')} / {wi_blk.get('median_host_probe_eff')} |",
+        ]
     if sel:
         lines += [
             f"| best gated round (supporting detail; seed {sel['seed']}, {sel['started_utc']}) | eff {sel['raw_efficiency']:.3f} |",
@@ -292,15 +335,18 @@ def write_baseline_md(summary: dict) -> None:
         "",
         "All rounds (chronological; gate failures shown):",
         "",
-        "| seed | start (UTC) | thr N pre | thr 4N | thr N post | eff | work-inv | gated |",
-        "|---|---|---|---|---|---|---|---|",
+        "| seed | start (UTC) | thr N pre | thr 4N | thr N post | eff | host eff | work-inv | gated |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rounds:
         g = "yes" if r["gated"] else "; ".join(r["gate_failures"])
+        hpe = r.get("host_probe_eff")
+        if hpe is None and r.get("cap_ratio"):
+            hpe = round(r["cap_ratio"] / 4, 3)
         lines.append(
             f"| {r['seed']} | {r['started_utc']} | {r['thr_N_pre']} | "
             f"{r['thr_4N']} | {r['thr_N_post']} | {r['raw_efficiency']} | "
-            f"{r.get('work_invariance')} | {g} |"
+            f"{hpe} | {r.get('work_invariance')} | {g} |"
         )
     if full.get("queries"):
         fc = full.get("cpus", n4)
@@ -380,6 +426,50 @@ def med(vals):
     return round(statistics.median(vals), 3) if vals else None
 
 
+def _host_ceiling(rounds: list[dict], gated: list[dict]) -> dict:
+    """The host-ceiling argument (VERDICT r03 next-round #2b), computed
+    from data every round already records: cap_ratio/4 is the burn-probe
+    (pure Python busy loop, zero coordination) N→4N scaling efficiency
+    measured INSIDE the same round that timed the engine.  If the engine's
+    wall-clock efficiency meets or beats the host's own busy-loop scaling
+    while its CPU work stays parallelism-invariant, the gap to the 0.8
+    target is deliverable-CPU physics of this shared host, not engine
+    structure — no workload, including an embarrassingly parallel loop,
+    can scale past the host's CPU-delivery ratio."""
+
+    def hpe(r):
+        return (r.get("cap_ratio") or 0.0) / 4
+
+    paired_gated = [(r["raw_efficiency"], hpe(r)) for r in gated if r.get("cap_ratio")]
+    wi_ok = [
+        r
+        for r in gated
+        if r.get("work_invariance") is not None and r["work_invariance"] <= 1.1
+    ]
+    return {
+        "definition": (
+            "host_probe_eff = (min burn-probe loops/s @4N workers) / "
+            "(4 x min @N workers), probes bracketing the same timed reps "
+            "(= cap_ratio/4): the host's own scaling for a coordination-"
+            "free CPU burn in that round's window.  engine_ge_host = "
+            "raw_efficiency >= host_probe_eff for the same round."
+        ),
+        "median_host_probe_eff_gated": med([h for _, h in paired_gated]),
+        "median_host_probe_eff_all": med([hpe(r) for r in rounds if r.get("cap_ratio")]),
+        "median_eng_minus_host_gated": med([e - h for e, h in paired_gated]),
+        "n_gated_engine_ge_host": sum(1 for e, h in paired_gated if e >= h),
+        "n_gated": len(gated),
+        "gated_wi_le_1p1": {
+            "n": len(wi_ok),
+            "n_engine_ge_host": sum(
+                1 for r in wi_ok if r["raw_efficiency"] >= hpe(r)
+            ),
+            "median_eff": med([r["raw_efficiency"] for r in wi_ok]),
+            "median_host_probe_eff": med([hpe(r) for r in wi_ok]),
+        },
+    }
+
+
 def build_summary(rounds: list[dict], n: int, sf_dir: str) -> dict:
     gated = [r for r in rounds if r["gated"]]
     best_gated = max(gated, key=lambda x: x["raw_efficiency"]) if gated else None
@@ -441,6 +531,9 @@ def build_summary(rounds: list[dict], n: int, sf_dir: str) -> dict:
                 "per-round raw ratio and hw inflation are both recorded"
             ),
         },
+        # the paired engine-vs-host comparison (same-round, same-window):
+        # the second acceptance path of VERDICT r03 #2
+        "host_ceiling": _host_ceiling(rounds, gated),
     }
 
 

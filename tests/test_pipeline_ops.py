@@ -15,21 +15,45 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_DIR", "/root/testdata/sf0.01")
 
 def test_pack_sequences_monotone_and_zero_based(spark):
     out = sqlops.q_pack_sequences(spark, SF_DIR).collect()
-    by_source = {}
+    by_stream = {}
     for r in out:
-        by_source.setdefault(r.source, []).append(r)
-    for source, rows in by_source.items():
+        by_stream.setdefault((r.source, r.subshard), []).append(r)
+    for stream, rows in by_stream.items():
         rows.sort(key=lambda r: r.doc_id)
-        # first doc of every shard starts pack 0; pack ids never decrease
-        assert rows[0].pack_id == 0, source
+        # first doc of every stream starts pack 0; pack ids never decrease
+        assert rows[0].pack_id == 0, stream
         packs = [r.pack_id for r in rows]
-        assert packs == sorted(packs), source
+        assert packs == sorted(packs), stream
         # a pack boundary is crossed only when the running total passes the
         # budget: tokens strictly before the first doc of pack p are >= p*B
         cum = 0
         for r in rows:
             assert r.pack_id == cum // sqlops.PACK_BUDGET_TOKENS
             cum += r.n_tokens
+
+
+def test_pack_sequences_subshards_split_hot_source(spark, tmp_path):
+    """A single hot source fans out to PACK_SUBSHARDS independent packing
+    streams: the window partitions on (source, subshard), never on source
+    alone — the 100 TB parallelism-ceiling fix."""
+    rows = [(i, "w " * 40, "hot", 41) for i in range(200)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    df = sqlops.q_pack_sequences(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the packing window's shuffle must hash on (source, subshard)
+    import re
+
+    assert re.search(r"hashpartitioning\(source#\d+, subshard#\d+", plan), plan
+    out = df.collect()
+    shards = {r.subshard for r in out}
+    assert len(shards) == sqlops.PACK_SUBSHARDS
+    assert all(0 <= s < sqlops.PACK_SUBSHARDS for s in shards)
+    # determinism: subshard is a pure function of doc_id
+    again = {(r.doc_id, r.subshard) for r in df.collect()}
+    assert again == {(r.doc_id, r.subshard) for r in out}
 
 
 def test_stratified_sample_deterministic_and_gated(spark):
@@ -218,15 +242,15 @@ def test_curation_pipeline_composes_stage_decisions(spark):
         if r.keep == 0
     }
     assert not (kept & (q_drop | contaminated | g_drop))
-    # packing invariant holds over the surviving set
-    by_source = {}
+    # packing invariant holds over the surviving set, per (source, subshard)
+    by_stream = {}
     for r in rows:
-        by_source.setdefault(r.source, []).append(r)
-    for source, rs in by_source.items():
+        by_stream.setdefault((r.source, r.subshard), []).append(r)
+    for stream, rs in by_stream.items():
         rs.sort(key=lambda r: r.doc_id)
         cum = 0
         for r in rs:
-            assert r.pack_id == cum // sqlops.PACK_BUDGET_TOKENS, source
+            assert r.pack_id == cum // sqlops.PACK_BUDGET_TOKENS, stream
             cum += r.n_tokens
 
 

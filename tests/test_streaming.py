@@ -213,3 +213,61 @@ def test_streaming_link_extract_matches_batch(spark, tmp_path):
     batch = sorted(map(tuple, links_from_pages(spark.read.parquet(in_dir)).collect()))
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_streaming_link_extract_replayed_late_feed_matches_batch(spark, tmp_path):
+    """Exact link-layer parity under at-least-once delivery: a feed where
+    pages are REPLAYED (duplicate doc_id) and arrive LATE (event time
+    behind rows already seen) still yields exactly the batch link
+    inventory of the distinct pages — watermarked dedup in front of the
+    stateless extraction absorbs both."""
+    from datetime import timedelta
+
+    from ocr_corrector_spark.operators.sqlops import (
+        _page_html,
+        links_from_pages,
+    )
+    from ocr_corrector_spark.sources.tables import load_table
+    from ocr_corrector_spark.streaming import (
+        streaming_dedup,
+        streaming_link_extract,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        _page_html(F.col("doc_id"), F.col("text")).alias("html"),
+        # deterministic event time derived from doc_id
+        F.expr("timestamp '2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0, doc_id)")
+        .alias("ts"),
+    )
+    # replay: every third page delivered again with an OLDER event time
+    # (a late row from a retried upstream batch), inside the watermark
+    replays = pages.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 30 SECONDS")
+    )
+    in_dir = str(tmp_path / "pages_replayed")
+    pages.unionByName(replays).write.mode("overwrite").parquet(in_dir)
+
+    src = spark.readStream.schema(pages.schema).parquet(in_dir)
+    deduped = streaming_dedup(src, keys=("doc_id",), watermark="10 minutes")
+    q = (
+        streaming_link_extract(deduped.select("doc_id", "html"))
+        .writeStream.format("memory")
+        .queryName("links_replayed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT * FROM links_replayed").collect())
+    )
+    batch = sorted(
+        map(tuple, links_from_pages(pages.select("doc_id", "html")).collect())
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
