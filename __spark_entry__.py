@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q.q_zipf_fit,
         "dup_ngram_coverage": q.q_dup_ngram_coverage,
         "ivfpq_topk": q.q_ivfpq_topk,
+        "semantic_dedup": q.q_semantic_dedup,
     }
 
 
@@ -1166,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         FROM tot LEFT JOIN dd USING (doc_id)
     """
     d["ivfpq_topk"] = _ivfpq_sql(d)
+    d["semantic_dedup"] = _semdedup_sql(d)
     return d
 
 
@@ -1194,6 +1196,39 @@ def _pack_sql(base: str) -> str:
                 FROM ({base})
             )
         )
+    """
+
+
+def _semdedup_sql(d: dict[str, str]) -> str:
+    """SemDeDup oracle COMPOSED from the verified ivf_assign oracle
+    (curation_pipeline convention) with SEMDEDUP_COS_MIN interpolated from
+    the Spark operator's constant."""
+    from ocr_corrector_spark.operators.sqlops import EMB_DIM, SEMDEDUP_COS_MIN
+
+    return f"""
+        WITH assign AS ({d["ivf_assign"]}),
+        m AS (
+            SELECT a.vec_id, a.centroid_id, e.embedding AS v
+            FROM assign a JOIN embeddings e USING (vec_id)
+        ), pairs AS (
+            SELECT b.vec_id,
+                   round(
+                     list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                         i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                            i -> a.v[i]::DOUBLE * a.v[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                            i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE)))), 6
+                   ) AS cos_sim
+            FROM m a JOIN m b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        ), dropped AS (
+            SELECT DISTINCT vec_id FROM pairs
+            WHERE cos_sim >= {SEMDEDUP_COS_MIN}
+        )
+        SELECT m.vec_id, m.centroid_id,
+               CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END::INTEGER AS keep
+        FROM m LEFT JOIN dropped dr USING (vec_id)
     """
 
 

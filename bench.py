@@ -356,6 +356,7 @@ def main() -> None:
         "zipf_fit",
         "dup_ngram_coverage",
         "ivfpq_topk",
+        "semantic_dedup",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats
 

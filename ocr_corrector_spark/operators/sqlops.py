@@ -825,6 +825,76 @@ def q_ivf_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup = cluster
+# the embedding space, then pairwise-compare ONLY within a cluster.
+SEMDEDUP_COS_MIN = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embedding column:
+    every vector joins its IVF cluster (broadcast codebook, q_ivf_assign's
+    assignment), cosine similarity is computed ONLY between same-cluster
+    pairs (equi-join on centroid_id — never an all-pairs θ-join), and a
+    vector is DROPPED iff some same-cluster vector with a smaller vec_id
+    is within SEMDEDUP_COS_MIN cosine — a deterministic keep rule (the
+    paper keeps one exemplar per ε-ball; lowest-id is the
+    engine-reproducible tie-break).  Output: every vector with its cluster
+    and keep flag.
+
+    Scale shape: the only wide stages are the assignment window and one
+    hash shuffle on centroid_id; the quadratic term is per-cluster, and
+    SemDeDup's own recipe scales k with n so expected cluster size stays
+    bounded (the paper uses ~50k clusters for LAION-440M) — per-cluster
+    pairwise cost is then a constant factor on the cluster scan, not an
+    O(n²) blow-up."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
+    m = emb.join(assign, "vec_id")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    a, b = m.alias("a"), m.alias("b")
+    cos = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (
+            F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+            * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+        ),
+        6,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= SEMDEDUP_COS_MIN)
+        .select("vec_id")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    # dropped is output-bounded (near-dup count, a small fraction of the
+    # corpus) — broadcast it against the full table, the same shape as
+    # q_group_representative's drop-list join
+    return (
+        m.join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.when(F.col("dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 QUALITY_MIN_TOKENS = 5
 QUALITY_MAX_STOPWORD_RATIO = 0.5
 QUALITY_MIN_CHARS, QUALITY_MAX_CHARS = 20, 2000

@@ -282,3 +282,54 @@ def test_bruteforce_eval_guard_passes_bounded_input(spark):
     predicate stayed in place)."""
     assert sqlops.q_ngram_jaccard(spark, SF_DIR).count() >= 0
     assert sqlops.q_embedding_neardup(spark, SF_DIR).count() >= 0
+
+
+def test_semantic_dedup_keep_rule_brute_force(spark):
+    """Every dropped vector has a smaller-id same-cluster neighbor within
+    SEMDEDUP_COS_MIN; every kept vector has none — recomputed brute-force
+    in numpy on the driver."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.vec_id: (r.centroid_id, r.keep)
+           for r in sqlops.q_semantic_dedup(spark, sf).collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in sqlops.load_table(spark, sf, "embeddings").collect()
+    }
+    assert set(out) == set(emb)
+    by_cluster = {}
+    for vid, (cid, _) in out.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    n_dropped = 0
+    for cid, vids in by_cluster.items():
+        vids.sort()
+        for i, v in enumerate(vids):
+            has_neighbor = False
+            for u in vids[:i]:
+                a, b = emb[u], emb[v]
+                cos = round(
+                    float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6
+                )
+                if cos >= sqlops.SEMDEDUP_COS_MIN:
+                    has_neighbor = True
+                    break
+            assert out[v][1] == (0 if has_neighbor else 1), (v, cid)
+            n_dropped += has_neighbor
+    assert n_dropped > 0, "fixture should contain semantic near-dups"
+
+
+def test_semantic_dedup_plan_cluster_bounded(spark):
+    """The pairwise stage is an equi-join on centroid_id (cluster-bounded);
+    the only nested loops are against the broadcast IVF_K-row codebook and
+    the drop-list joins back as a broadcast."""
+    df = sqlops.q_semantic_dedup(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # corpus-vs-corpus pair generation must be a hash/merge equi-join
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    # nested loops only where a side is the broadcast codebook (8 rows):
+    # every BroadcastNestedLoopJoin must sit above a broadcast of cents
+    import re
+
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
+    assert "BroadcastHashJoin" in plan, plan  # drop-list joins broadcast
