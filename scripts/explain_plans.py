@@ -82,6 +82,7 @@ def main() -> None:
         "zipf_fit",
         "dup_ngram_coverage",
         "ivfpq_topk",
+        "semantic_dedup",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 
