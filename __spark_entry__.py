@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_coverage": q.q_dup_ngram_coverage,
         "ivfpq_topk": q.q_ivfpq_topk,
         "semantic_dedup": q.q_semantic_dedup,
+        "url_canonicalize": q.q_url_canonicalize,
+        "anchor_stats": q.q_anchor_stats,
     }
 
 
@@ -1344,6 +1346,55 @@ def _markup_sql() -> dict[str, str]:
                count(DISTINCT doc_id)::BIGINT AS n_docs
         FROM links WHERE href LIKE 'https://%'
         GROUP BY host
+        """,
+        "url_canonicalize": links
+        + """
+        , noisy AS (
+            SELECT doc_id,
+                   href
+                   || CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || '|'
+                        || link_pos::VARCHAR), 1, 2))::BIGINT % 3 = 0
+                        THEN '/' ELSE '' END
+                   || CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || '|'
+                        || link_pos::VARCHAR), 1, 2))::BIGINT % 2 = 0
+                        THEN '?utm_source=rss&utm_medium=feed' ELSE '' END
+                   || CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR || '|'
+                        || link_pos::VARCHAR), 1, 2))::BIGINT % 5 = 0
+                        THEN '#frag' || (('0x' || substring(md5(doc_id::VARCHAR
+                             || '|' || link_pos::VARCHAR), 1, 2))::BIGINT % 7)::VARCHAR
+                        ELSE '' END AS url
+            FROM links WHERE href LIKE 'https://%'
+        )
+        SELECT regexp_replace(regexp_replace(regexp_replace(
+                   url, '#.*$', ''), '\\?utm_[^#]*$', ''), '/$', '')
+                   AS canonical_url,
+               count(*)::BIGINT AS n_links,
+               count(DISTINCT url)::BIGINT AS n_variants,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM noisy
+        GROUP BY canonical_url
+        """,
+        "anchor_stats": links
+        + """
+        , abs_links AS (
+            SELECT * FROM links WHERE href LIKE 'https://%'
+        ), counts AS (
+            SELECT href, anchor, count(*) AS n
+            FROM abs_links GROUP BY href, anchor
+        ), top AS (
+            SELECT href, anchor AS top_anchor, n::BIGINT AS top_anchor_n
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY href ORDER BY n DESC, anchor ASC) AS rk
+                FROM counts
+            ) WHERE rk = 1
+        ), totals AS (
+            SELECT href, count(*)::BIGINT AS n_links,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM abs_links GROUP BY href
+        )
+        SELECT t.href, t.n_links, t.n_docs, p.top_anchor, p.top_anchor_n
+        FROM totals t JOIN top p USING (href)
         """,
         "link_graph": f"""
             WITH e0 AS (

@@ -357,6 +357,8 @@ def main() -> None:
         "dup_ngram_coverage",
         "ivfpq_topk",
         "semantic_dedup",
+        "url_canonicalize",
+        "anchor_stats",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats
 

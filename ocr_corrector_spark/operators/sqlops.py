@@ -2031,6 +2031,97 @@ def q_markdownify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.trim(md).alias("md"))
 
 
+def _noisy_url(links: DataFrame) -> DataFrame:
+    """Deterministic crawl-noise fixture over the extracted links: the
+    same target URL arrives with tracking query params, fragments, and
+    trailing slashes, keyed by md5 parity of (doc_id, link_pos) so both
+    engines rebuild the identical variants."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    F.col("link_pos").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("long")
+    url = F.col("href")
+    url = F.when(F.pmod(h, 3) == 0, F.concat(url, F.lit("/"))).otherwise(url)
+    url = F.when(
+        F.pmod(h, 2) == 0,
+        F.concat(url, F.lit("?utm_source=rss&utm_medium=feed")),
+    ).otherwise(url)
+    url = F.when(
+        F.pmod(h, 5) == 0,
+        F.concat(url, F.lit("#frag"), F.pmod(h, 7).cast("string")),
+    ).otherwise(url)
+    return links.select("doc_id", url.alias("url"))
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup rollup — the crawl-frontier hygiene
+    pass that collapses tracking-param / fragment / trailing-slash
+    variants of the same target before fetch scheduling or link-graph
+    construction.  Canonical form: strip #fragment, strip a
+    tracking-only query string, strip the trailing slash — a fixed chain
+    of native regexp_replace (row-local, scan-stage); the rollup is one
+    map-side-combined groupBy on the canonical URL (key space = the
+    site/path universe, dimension-bounded here; corpus-keyed on the open
+    web, which is exactly what a frontier dedup shuffles on)."""
+    noisy = _noisy_url(
+        _links_df(spark, sf_dir).filter(F.col("href").startswith("https://"))
+    )
+    c = F.regexp_replace(F.col("url"), "#.*$", "")
+    c = F.regexp_replace(c, "\\?utm_[^#]*$", "")
+    c = F.regexp_replace(c, "/$", "")
+    return (
+        noisy.select("doc_id", "url", c.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.countDistinct("url").cast("long").alias("n_variants"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-graph feature
+    (anchor text describes the TARGET page better than its own content;
+    every search/crawl stack builds this table).  Per href: link count,
+    distinct linking docs, and the modal anchor text (ties broken
+    lexicographically).  Shuffle keys are target URLs with
+    map-side-combinable counts; the mode window's frame is the per-target
+    anchor vocabulary — tiny per key at any corpus size."""
+    links = _links_df(spark, sf_dir).filter(F.col("href").startswith("https://"))
+    counts = links.groupBy("href", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("href").orderBy(F.desc("n"), F.asc("anchor"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "href",
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").cast("long").alias("top_anchor_n"),
+        )
+    )
+    totals = links.groupBy("href").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return totals.join(top, "href").select(
+        "href", "n_links", "n_docs", "top_anchor", "top_anchor_n"
+    )
+
+
 # --- quality scoring: corpus bigram-LM perplexity ----------------------------------
 NGRAM_LM_ALPHA = 0.5
 

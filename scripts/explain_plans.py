@@ -83,6 +83,8 @@ def main() -> None:
         "dup_ngram_coverage",
         "ivfpq_topk",
         "semantic_dedup",
+        "url_canonicalize",
+        "anchor_stats",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

@@ -84,3 +84,26 @@ def test_link_graph_mass_conservation(spark):
     # targets < 500 exist at sf >= 0.01), so distributed mass == n_src
     assert abs(mass - n_src) < 1e-3, (mass, n_src)
     assert all(r.in_degree >= 1 for r in rows)
+
+
+def test_url_canonicalize_collapses_variants(spark):
+    rows = sqlops.q_url_canonicalize(spark, SF_DIR).collect()
+    assert rows
+    assert any(r.n_variants > 1 for r in rows), (
+        "noise fixture should produce multiple variants of some target"
+    )
+    for r in rows:
+        assert "#" not in r.canonical_url
+        assert "utm_" not in r.canonical_url
+        assert not r.canonical_url.endswith("/")
+        assert 1 <= r.n_variants <= r.n_links
+        assert 1 <= r.n_docs <= r.n_links
+
+
+def test_anchor_stats_consistent(spark):
+    rows = sqlops.q_anchor_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.top_anchor_n <= r.n_links
+        assert 1 <= r.n_docs <= r.n_links
+        assert r.top_anchor.startswith("ref-") or r.top_anchor
