@@ -28,9 +28,16 @@ from scaling import ARTIFACT, write_baseline_md  # noqa: E402
 
 
 def load_run(path: str) -> dict:
+    """Accept either a full-report file (SPARK_GRAFT_BENCH_OUT /
+    BENCH/last_bench.json — preferred, carries the probe provenance) or a
+    captured stdout whose LAST JSON line is bench's compact summary."""
     with open(path) as f:
-        lines = [l for l in f.read().strip().splitlines() if l.startswith("{")]
-    return json.loads(lines[-1])
+        text = f.read().strip()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        lines = [l for l in text.splitlines() if l.startswith("{")]
+        return json.loads(lines[-1])
 
 
 def main() -> None:
