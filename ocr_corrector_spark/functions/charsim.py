@@ -23,9 +23,10 @@ decompositions}``:
   (char_sim.py:172-205, 277-311): per-language best pinyin-variant match.
   Not used by either corrector's main path; implemented for completeness.
 
-The APTED tree-edit-distance path (char_sim.py:42-54, as_tree=True) is out
-of scope: it is dead in the reference main path (``as_tree=False``
-everywhere) and shells out to a non-shipped jar.
+The APTED tree-edit-distance path (char_sim.py:42-54, as_tree=True) —
+dead code in the reference main path (``as_tree=False`` everywhere, jar
+not shipped) — is implemented in ``functions/treedist.py`` as a pure-
+Python Zhang–Shasha TED with string_to_tree bracket parity.
 """
 
 from __future__ import annotations
