@@ -406,6 +406,7 @@ def _scaling_evidence() -> dict | None:
         "meets_target": ev.get("meets_target"),
         "target": ev.get("target"),
         "median_eff_gated": ev.get("median_eff_gated"),
+        "median_eff_gated_wi_clean": ev.get("median_eff_gated_wi_clean"),
         "work_invariance_median_gated": wi.get("median_gated"),
         "work_invariance_target_max": wi.get("target_max"),
         "work_invariance_meets_target": wi.get("meets_target"),
@@ -485,7 +486,8 @@ def _report(
         compact["scaling"] = {
             k: scaling.get(k)
             for k in (
-                "median_eff_gated", "meets_target", "target", "rounds_run",
+                "median_eff_gated", "median_eff_gated_wi_clean",
+                "meets_target", "target", "rounds_run",
                 "work_invariance_median_gated", "host_eff_gated",
                 "eng_ge_host_gated", "artifact",
             )
