@@ -112,3 +112,66 @@ def test_bracket_roundtrip_stable():
     for ids, bracket in STRING_TO_TREE_GOLDENS:
         t = ids_to_tree(ids)
         assert tree_to_bracket(t) == bracket
+
+
+# --- property check: Zhang-Shasha DP vs the naive exponential recurrence ----
+def _naive_forest_ted(f1: tuple, f2: tuple, memo: dict) -> int:
+    """Textbook ordered-forest edit distance (exponential, tiny inputs
+    only): a forest is a tuple of (label, children-forest) pairs."""
+    key = (f1, f2)
+    if key in memo:
+        return memo[key]
+    if not f1:
+        r = sum(_size(t) for t in f2)
+    elif not f2:
+        r = sum(_size(t) for t in f1)
+    else:
+        (l1, c1), rest1 = f1[-1], f1[:-1]
+        (l2, c2), rest2 = f2[-1], f2[:-1]
+        r = min(
+            _naive_forest_ted(rest1 + c1, f2, memo) + 1,           # delete
+            _naive_forest_ted(f1, rest2 + c2, memo) + 1,           # insert
+            _naive_forest_ted(rest1, rest2, memo)                  # match roots
+            + _naive_forest_ted(c1, c2, memo)
+            + (0 if l1 == l2 else 1),
+        )
+    memo[key] = r
+    return r
+
+
+def _size(t: tuple) -> int:
+    return 1 + sum(_size(c) for c in t[1])
+
+
+def _to_tuple(n: Node) -> tuple:
+    return (n.label, tuple(_to_tuple(c) for c in n.children))
+
+
+def _from_tuple(t: tuple) -> Node:
+    return Node(t[0], [_from_tuple(c) for c in t[1]])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _labels = st.sampled_from("abc一丨丿")
+
+    def _tree_strategy():
+        return st.recursive(
+            st.tuples(_labels, st.just(())),
+            lambda children: st.tuples(
+                _labels, st.lists(children, max_size=3).map(tuple)
+            ),
+            max_leaves=6,
+        )
+
+    @settings(max_examples=150, deadline=None)
+    @given(_tree_strategy(), _tree_strategy())
+    def test_ted_matches_naive_recurrence(t1, t2):
+        a, b = _from_tuple(t1), _from_tuple(t2)
+        expected = _naive_forest_ted((t1,), (t2,), {})
+        assert tree_edit_distance(a, b) == expected
+
+except ImportError:  # pragma: no cover - hypothesis is in the base image
+    pass
