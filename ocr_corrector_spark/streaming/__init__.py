@@ -1,4 +1,4 @@
-from .stateful import assemble_conversations
+from .stateful import assemble_conversations, streaming_neardup
 from .stream import (
     streaming_correct,
     streaming_dedup,
@@ -14,4 +14,5 @@ __all__ = [
     "streaming_link_extract",
     "streaming_metrics",
     "assemble_conversations",
+    "streaming_neardup",
 ]

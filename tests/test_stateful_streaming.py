@@ -61,3 +61,54 @@ def test_conversation_assembled_after_session_gap(spark, tmp_path):
     # B and C are still within their gap at end-of-stream: state retained,
     # nothing emitted for them in append mode
     assert "C" not in rows
+
+
+def test_streaming_neardup_matches_batch_lsh(spark, tmp_path):
+    """Streaming LSH near-dup (band-bucket state, exact-Jaccard verify)
+    emits, over an at-least-once replayed feed, exactly the pairs the
+    batch q_minhash_neardup_pairs finds — same band keys, same distinct
+    3-gram Jaccard, same HALF_UP rounding."""
+    from pyspark.sql import functions as F
+
+    from ocr_corrector_spark.operators import sqlops
+    from ocr_corrector_spark.sources.tables import load_table
+    from ocr_corrector_spark.streaming import streaming_neardup
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            "timestamp '2026-01-01 00:00:00'"
+            " + make_interval(0,0,0,0,0,0, doc_id)"
+        ).alias("ts"),
+    )
+    # replay every fifth doc (late, within the watermark): the band index
+    # must absorb the redelivery without emitting duplicate pairs
+    replays = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 10 SECONDS")
+    )
+    in_dir = str(tmp_path / "docs_stream")
+    docs.unionByName(replays).write.mode("overwrite").parquet(in_dir)
+
+    q = (
+        streaming_neardup(spark.readStream.schema(docs.schema).parquet(in_dir))
+        .writeStream.format("memory")
+        .queryName("neardup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.sql("SELECT * FROM neardup_stream").collect()
+    )
+    batch = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in sqlops.q_minhash_neardup_pairs(spark, sf_dir).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
