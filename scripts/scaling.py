@@ -247,9 +247,9 @@ def run_round(n: int, sf_dir: str, seed: int) -> dict:
     }
 
 
-def write_artifact(summary: dict) -> None:
+def write_artifact(summary: dict, suffix: str = "") -> None:
     os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
-    with open(ARTIFACT, "w") as f:
+    with open(ARTIFACT + suffix, "w") as f:
         json.dump(summary, f, indent=2)
 
 
@@ -393,7 +393,10 @@ def main() -> None:
         # incremental checkpoint: a kill mid-hunt must never discard
         # completed rounds (the artifact is rewritten with the final
         # summary below once the loop ends)
-        write_artifact({"partial": True, "rounds": rounds})
+        # checkpoint to a SIDE file: the committed artifact must never be
+        # clobbered by a mid-hunt partial (a concurrent bench.py would
+        # embed a junk scaling block, and an add -A would commit it)
+        write_artifact({"partial": True, "rounds": rounds}, suffix=".partial")
         gated_so_far = [x for x in rounds if x["gated"]]
         med_eff = med([x["raw_efficiency"] for x in gated_so_far])
         # stop when the MEDIAN of gated rounds meets target with enough
