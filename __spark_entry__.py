@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q.q_semantic_dedup,
         "url_canonicalize": q.q_url_canonicalize,
         "anchor_stats": q.q_anchor_stats,
+        "image_ahash": _image_ahash,
+        "quality_classifier": q.q_quality_classifier,
     }
 
 
@@ -107,6 +109,12 @@ def _image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_corrector_spark.operators.multimodal import q_image_stats
 
     return q_image_stats(spark, sf_dir)
+
+
+def _image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ocr_corrector_spark.operators.multimodal import q_image_ahash
+
+    return q_image_ahash(spark, sf_dir)
 
 
 def _simhash_ctes() -> str:
@@ -808,6 +816,36 @@ def oracle_sql() -> dict[str, str]:
             FROM px
             GROUP BY doc_id, width, height
         """,
+        "image_ahash": """
+            WITH px AS (
+                SELECT d.doc_id,
+                       (4 + d.doc_id % 5) AS width,
+                       (3 + d.doc_id % 4) AS height,
+                       x.x, y.y,
+                       ((d.doc_id * 7 + 3 * x.x + 5 * y.y) % 256)
+                       + ((d.doc_id * 7 + 3 * x.x + 5 * y.y + 85) % 256)
+                       + ((d.doc_id * 7 + 3 * x.x + 5 * y.y + 170) % 256) AS gray
+                FROM documents d,
+                     LATERAL (SELECT unnest(range(0, 4 + d.doc_id % 5)) AS x) x,
+                     LATERAL (SELECT unnest(range(0, 3 + d.doc_id % 4)) AS y) y
+            ), tot AS (
+                SELECT doc_id, count(*) AS n, sum(gray) AS total
+                FROM px GROUP BY doc_id
+            ), hashed AS (
+                SELECT px.doc_id,
+                       px.width::INTEGER AS width,
+                       px.height::INTEGER AS height,
+                       sum(CASE WHEN px.gray * t.n > t.total
+                                THEN (1::BIGINT << (px.y * px.width + px.x))
+                                ELSE 0 END)::BIGINT AS ahash
+                FROM px JOIN tot t USING (doc_id)
+                GROUP BY px.doc_id, px.width, px.height
+            )
+            SELECT doc_id, width, height, ahash,
+                   count(*) OVER (PARTITION BY width, height, ahash)::BIGINT
+                       AS n_same_hash
+            FROM hashed
+        """,
         "pack_sequences": _pack_sql(
             "SELECT doc_id, source, "
             "len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents"
@@ -1170,7 +1208,37 @@ def oracle_sql() -> dict[str, str]:
     """
     d["ivfpq_topk"] = _ivfpq_sql(d)
     d["semantic_dedup"] = _semdedup_sql(d)
+    d["quality_classifier"] = _quality_classifier_sql()
     return d
+
+
+def _quality_classifier_sql() -> str:
+    """Hashed-linear-classifier oracle with the SAME bucket/weight
+    constants as sqlops.q_quality_classifier (interpolated, not retyped);
+    integer weight sums keep it order-free exact."""
+    from ocr_corrector_spark.operators.sqlops import CLS_BUCKETS, CLS_HASH_MULT
+
+    w = (
+        f"((('0x' || substring(md5(x), 1, 8))::BIGINT % {CLS_BUCKETS})"
+        f" * {CLS_HASH_MULT}) % 1000 - 500"
+    )
+    return f"""
+        WITH s AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS ws
+            FROM documents
+        ), scored AS (
+            SELECT doc_id,
+                   len(ws)::BIGINT AS n_words,
+                   list_sum(list_transform(ws, x -> {w}))::BIGINT AS score_sum
+            FROM s WHERE len(ws) > 0
+        )
+        SELECT doc_id, n_words, score_sum,
+               round(1.0 / (1.0 + exp(-score_sum / (500.0 * n_words))), 6)
+                   AS prob,
+               (score_sum >= 0)::INTEGER AS keep
+        FROM scored
+    """
 
 
 def _pack_sql(base: str) -> str:

@@ -359,6 +359,7 @@ def main() -> None:
         "semantic_dedup",
         "url_canonicalize",
         "anchor_stats",
+        "quality_classifier",
     )
     from ocr_corrector_spark.operators.multimodal import q_image_stats
 

@@ -249,6 +249,69 @@ def q_image_stats(spark, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(stats, out_schema)
 
 
+def q_image_ahash(spark, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the REAL decode round trip — the
+    image near-duplicate primitive (aHash: one bit per pixel, set iff the
+    pixel's gray level exceeds the image mean; images within a small
+    Hamming distance are near-dups).  Computed on the native grid (the
+    synthetic images are 4-8 x 3-6, <= 48 bits — fits a BIGINT).
+
+    Exactness: gray = r+g+b (no luma weights, no division) and the
+    threshold is the integer cross-multiplication ``gray * n_pixels >
+    sum(gray)`` — zero floating point anywhere, so the DuckDB oracle
+    (same pixel formula via lateral ranges) is bit-identical.
+
+    Scale shape: hashing is mapInPandas over the scan (row-local); the
+    duplicate count is one map-side-combined agg on the 64-bit hash key
+    joined back broadcast-free via window — at petabyte image scale the
+    hash table IS the dedup index, the same groupBy-on-hash shape as
+    q_exact_dedup."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.imagecodec import decode_ppm, encode_ppm
+    from ..sources.tables import load_table
+
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("ahash", LongType()),
+        ]
+    )
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].tolist():
+                w = 4 + doc_id % 5
+                h = 3 + doc_id % 4
+                y, x = np.mgrid[0:h, 0:w]
+                base = (doc_id * 7 + 3 * x + 5 * y) % 256
+                img = np.stack(
+                    [(base + 85 * c) % 256 for c in range(3)], axis=-1
+                ).astype(np.uint8)
+                arr = decode_ppm(encode_ppm(img))  # hash the DECODED pixels
+                gray = arr.astype(np.int64).sum(axis=-1)  # r+g+b, exact
+                n = gray.size
+                total = int(gray.sum())
+                bits = (gray * n > total).astype(np.int64).ravel()  # row-major
+                ahash = int((bits << np.arange(n, dtype=np.int64)).sum())
+                rows.append((doc_id, int(arr.shape[1]), int(arr.shape[0]), ahash))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "ahash"])
+
+    hashed = docs.mapInPandas(hashes, out_schema)
+    n_same = F.count(F.lit(1)).over(Window.partitionBy("width", "height", "ahash"))
+    return hashed.select(
+        "doc_id", "width", "height", "ahash",
+        n_same.cast("long").alias("n_same_hash"),
+    )
+
+
 def decode_image(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Compressed-format decode (JPEG/PNG) requires Pillow — env-gated
     stub; ``decode_images`` above is the REAL path for library-free

@@ -895,6 +895,54 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hashed linear classifier: vocabulary-free model serving (the fastText/
+# CCNet quality-classifier shape) — words hash to CLS_BUCKETS weight slots
+CLS_BUCKETS = 256
+CLS_HASH_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring via the hashing trick — the serving
+    path of a fastText/logistic quality classifier (the GPT-3/CCNet
+    pipeline stage): each word hashes to one of CLS_BUCKETS weight slots,
+    the doc's score is the sum of its words' weights, and the keep
+    decision thresholds the sigmoid.  The committed "weights" are a
+    deterministic function of the bucket id (the repo's scorer-table
+    convention: a real training run would broadcast a learned table; the
+    EXECUTION shape — hash, lookup, map-side sum, no vocabulary object —
+    is identical and is what matters at scale).
+
+    Exactness: per-word weights are INTEGERS (md5 bucket → Knuth-mix →
+    [-500, 499]), so the per-doc sum is order-free exact in any engine;
+    the sigmoid is applied once to the exact integer ratio.  Entirely
+    row-local (higher-order array functions inside the scan stage):
+    model inference at 100 TB costs exactly one table scan, no shuffle,
+    no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    bucket = lambda w: F.pmod(  # noqa: E731 — small expression builders
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        F.lit(CLS_BUCKETS),
+    )
+    weight = lambda w: F.pmod(  # noqa: E731
+        bucket(w) * F.lit(CLS_HASH_MULT), F.lit(1000)
+    ) - F.lit(500)
+    score = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+    )
+    n_words = F.size(words)
+    prob = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-score / (F.lit(500.0) * n_words))), 6
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        score.alias("score_sum"),
+        prob.alias("prob"),
+        (score >= 0).cast("int").alias("keep"),
+    )
+
+
 QUALITY_MIN_TOKENS = 5
 QUALITY_MAX_STOPWORD_RATIO = 0.5
 QUALITY_MIN_CHARS, QUALITY_MAX_CHARS = 20, 2000

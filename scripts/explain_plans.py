@@ -85,6 +85,7 @@ def main() -> None:
         "semantic_dedup",
         "url_canonicalize",
         "anchor_stats",
+        "quality_classifier",
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 

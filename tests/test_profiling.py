@@ -136,3 +136,38 @@ def test_ivfpq_query_side_frames_broadcast(spark):
     assert len(rows) == 10
     dists = [r.adc_dist for r in rows]
     assert dists == sorted(dists)
+
+
+def test_quality_classifier_scan_local_and_consistent(spark):
+    """Model inference via the hashing trick is a pure scan-stage
+    projection: ZERO wide stages; keep == (score_sum >= 0); weights stay
+    in [-500, 499] so |score_sum| <= 500 * n_words."""
+    df = sqlops.q_quality_classifier(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    rows = df.collect()
+    assert rows
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < len(rows), "fixture should split both ways"
+    for r in rows:
+        assert r.keep == (1 if r.score_sum >= 0 else 0)
+        assert abs(r.score_sum) <= 500 * r.n_words
+        assert 0.0 <= r.prob <= 1.0
+
+
+def test_image_ahash_dedup_buckets(spark):
+    """aHash is a near-dup primitive: identical synthetic images (same
+    (width, height, ahash)) count each other; every doc appears once."""
+    from ocr_corrector_spark.operators.multimodal import q_image_ahash
+
+    rows = q_image_ahash(spark, SF_DIR).collect()
+    docs = {r.doc_id for r in rows}
+    assert len(rows) == len(docs)
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.width, r.height, r.ahash), []).append(r)
+    for key, members in by_key.items():
+        assert all(m.n_same_hash == len(members) for m in members), key
+        # hash fits the pixel-count bit budget
+        w, h, ah = key
+        assert 0 <= ah < (1 << (w * h)), key
