@@ -360,12 +360,18 @@ def main() -> None:
         "url_canonicalize",
         "anchor_stats",
         "quality_classifier",
+        "image_ahash",
     )
-    from ocr_corrector_spark.operators.multimodal import q_image_stats
+    from ocr_corrector_spark.operators.multimodal import (
+        q_image_ahash,
+        q_image_stats,
+    )
 
     query_probes: dict[str, float] = {}
     for name in query_names:
-        fn = q_image_stats if name == "image_stats" else getattr(sqlops, f"q_{name}")
+        fn = {"image_stats": q_image_stats, "image_ahash": q_image_ahash}.get(
+            name
+        ) or getattr(sqlops, f"q_{name}")
         fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()  # warm (IO + codegen)
         # 5 reps (vs 3 for the expensive flagship): these queries run ~1s
         # each, and the sandbox's sporadic multi-second stalls otherwise

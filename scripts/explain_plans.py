@@ -89,9 +89,13 @@ def main() -> None:
     ):
         sections[name] = explain(getattr(sqlops, f"q_{name}")(spark, sf_dir))
 
-    from ocr_corrector_spark.operators.multimodal import q_image_stats
+    from ocr_corrector_spark.operators.multimodal import (
+        q_image_ahash,
+        q_image_stats,
+    )
 
     sections["image_stats"] = explain(q_image_stats(spark, sf_dir))
+    sections["image_ahash"] = explain(q_image_ahash(spark, sf_dir))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
