@@ -7,6 +7,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _java_opts(cpus: int) -> str:
+    """Driver-JVM GC options, width-aware.
+
+    On a wide local[] JVM the Java 17 G1 defaults size the GC worker pool
+    from the MACHINE's core count (~5/8 · cores), so every young-gen pause
+    spins ~20 GC threads against 32 already-busy task threads —
+    measured 0.51 s GC at local[8] vs 5.92 s at local[32] on the identical
+    job (BENCH/SCALING_DIAGNOSIS.md).  Capping the GC pool to a fraction
+    of the TASK width (not the machine width) keeps collection cost
+    proportional to the work.  On a real cluster each executor JVM is
+    narrow and per-node G1 defaults are fine; this knob matters only for
+    the single-JVM local[4N] protocol.  Override with SPARK_GRAFT_JAVA_OPTS.
+    """
+    override = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if override is not None:
+        return override
+    gc_threads = max(2, min(8, cpus // 2))
+    return (
+        f"-XX:ParallelGCThreads={gc_threads} "
+        f"-XX:ConcGCThreads={max(1, gc_threads // 4)}"
+    )
+
+
 def get_spark(
     app_name: str = "ocr_corrector_spark",
     cpus: int | None = None,
@@ -41,6 +64,7 @@ def get_spark(
         .config("spark.speculation.multiplier", "2")
         .config("spark.speculation.quantile", "0.75")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.extraJavaOptions", _java_opts(cpus))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
