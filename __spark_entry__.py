@@ -1281,12 +1281,19 @@ def _semdedup_sql(d: dict[str, str]) -> str:
     """SemDeDup oracle COMPOSED from the verified ivf_assign oracle
     (curation_pipeline convention) with SEMDEDUP_COS_MIN interpolated from
     the Spark operator's constant."""
-    from ocr_corrector_spark.operators.sqlops import EMB_DIM, SEMDEDUP_COS_MIN
+    from ocr_corrector_spark.operators.sqlops import (
+        EMB_DIM,
+        SEMDEDUP_COS_MIN,
+        SEMDEDUP_MAX_CLUSTER,
+    )
 
     return f"""
         WITH assign AS ({d["ivf_assign"]}),
         m AS (
-            SELECT a.vec_id, a.centroid_id, e.embedding AS v
+            SELECT a.vec_id, a.centroid_id, e.embedding AS v,
+                   a.vec_id % CAST(ceil(
+                       (COUNT(*) OVER (PARTITION BY a.centroid_id))
+                       / {SEMDEDUP_MAX_CLUSTER}.0) AS BIGINT) AS sub_id
             FROM assign a JOIN embeddings e USING (vec_id)
         ), pairs AS (
             SELECT b.vec_id,
@@ -1299,7 +1306,8 @@ def _semdedup_sql(d: dict[str, str]) -> str:
                             i -> b.v[i]::DOUBLE * b.v[i]::DOUBLE)))), 6
                    ) AS cos_sim
             FROM m a JOIN m b
-              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+              ON a.centroid_id = b.centroid_id AND a.sub_id = b.sub_id
+             AND a.vec_id < b.vec_id
         ), dropped AS (
             SELECT DISTINCT vec_id FROM pairs
             WHERE cos_sim >= {SEMDEDUP_COS_MIN}

@@ -188,18 +188,29 @@ BRUTEFORCE_EVAL_MAX_ROWS = 2000
 def _bruteforce_eval_guard(df: DataFrame, query: str, scalable_twin: str) -> DataFrame:
     """Refuse to self-join more than BRUTEFORCE_EVAL_MAX_ROWS rows.
 
-    The count is cheap by construction: the caller has already applied a
-    pushed-down id-range predicate, so parquet row-group stats prune the
-    scan to the bounded slice at any corpus size.
+    LAZY by design: building the query (plan inspection, registration)
+    runs no job; the fence fires at execution via ``assert_true`` over a
+    global count window evaluated before the pairwise join.  The window's
+    single-partition exchange is bounded by the caller's pushed-down
+    id-range predicate in the legitimate case, and in the abuse case (a
+    user lifting the range filter) it costs one narrow shuffle of the
+    input instead of a cartesian blow-up — then raises.
     """
-    n = df.count()
-    if n > BRUTEFORCE_EVAL_MAX_ROWS:
-        raise ValueError(
-            f"{query} is an O(n^2) brute-force EVAL baseline fenced at "
-            f"{BRUTEFORCE_EVAL_MAX_ROWS} rows (got {n}); use {scalable_twin} "
-            f"for production-scale data"
-        )
-    return df
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    fence = F.assert_true(
+        n <= BRUTEFORCE_EVAL_MAX_ROWS,
+        F.concat(
+            F.lit(
+                f"{query} is an O(n^2) brute-force EVAL baseline fenced at "
+                f"{BRUTEFORCE_EVAL_MAX_ROWS} rows (got "
+            ),
+            n.cast("string"),
+            F.lit(f"); use {scalable_twin} for production-scale data"),
+        ),
+    )
+    return df.withColumn("_fence", fence).filter(
+        F.col("_fence").isNull()
+    ).drop("_fence")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,6 +839,14 @@ def q_ivf_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup = cluster
 # the embedding space, then pairwise-compare ONLY within a cluster.
 SEMDEDUP_COS_MIN = 0.35
+# Hard bound on the per-cluster pairwise term: clusters larger than this
+# are deterministically sub-split (vec_id mod ceil(n/max)) before the
+# within-cluster join, so one degenerate/skewed codebook cell can never
+# become an accidental all-pairs — the guard q_semantic_dedup's docstring
+# promises (round-4 verdict item 4; same philosophy as
+# _bruteforce_eval_guard, but degrading recall instead of raising, since
+# semantic dedup is a production path, not an eval baseline).
+SEMDEDUP_MAX_CLUSTER = 4096
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,14 +863,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the only wide stages are the assignment window and one
     hash shuffle on centroid_id; the quadratic term is per-cluster, and
     SemDeDup's own recipe scales k with n so expected cluster size stays
-    bounded (the paper uses ~50k clusters for LAION-440M) — per-cluster
-    pairwise cost is then a constant factor on the cluster scan, not an
-    O(n²) blow-up."""
+    bounded (the paper uses ~50k clusters for LAION-440M).  A degenerate
+    codebook can still produce one huge cluster, so clusters above
+    SEMDEDUP_MAX_CLUSTER are deterministically sub-split (``vec_id mod
+    ceil(n_cluster / max)``) and pairs are compared only within a
+    (centroid_id, sub_id) cell: worst-case pairwise cost is bounded by
+    max·n per cluster instead of n², at the price of missing cross-split
+    near-dups inside an oversized cluster — the documented trade the
+    guard makes explicit (the DuckDB oracle mirrors the same formula, so
+    correctness checks hold in both regimes)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     assign = q_ivf_assign(spark, sf_dir).select("vec_id", "centroid_id")
-    m = emb.join(assign, "vec_id")
+    n_cluster = F.count(F.lit(1)).over(Window.partitionBy("centroid_id"))
+    n_subs = F.ceil(n_cluster / F.lit(float(SEMDEDUP_MAX_CLUSTER))).cast("long")
+    m = (
+        emb.join(assign, "vec_id")
+        .withColumn("sub_id", F.pmod(F.col("vec_id"), n_subs))
+    )
 
     def dot(x, y):
         return F.aggregate(
@@ -871,6 +901,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.sub_id") == F.col("b.sub_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos_sim"))
@@ -2125,17 +2156,37 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     noisy = _noisy_url(
         _links_df(spark, sf_dir).filter(F.col("href").startswith("https://"))
     )
-    c = F.regexp_replace(F.col("url"), "#.*$", "")
+    return url_canonicalize_rollup(canonicalize_urls(noisy))
+
+
+def canonical_url_col(url) -> "F.Column":
+    """The canonical form of a URL column: strip #fragment, strip a
+    tracking-only query string, strip the trailing slash — a fixed chain
+    of native regexp_replace, entirely row-local (scan-stage; stateless in
+    a stream)."""
+    c = F.regexp_replace(url, "#.*$", "")
     c = F.regexp_replace(c, "\\?utm_[^#]*$", "")
-    c = F.regexp_replace(c, "/$", "")
-    return (
-        noisy.select("doc_id", "url", c.alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_links"),
-            F.countDistinct("url").cast("long").alias("n_variants"),
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        )
+    return F.regexp_replace(c, "/$", "")
+
+
+def canonicalize_urls(noisy: DataFrame) -> DataFrame:
+    """Row-local canonical mapping (doc_id, url, canonical_url) — shared by
+    the batch rollup and streaming_url_canonicalize (where it is the
+    stateless in-stream stage)."""
+    return noisy.select(
+        "doc_id", "url", canonical_url_col(F.col("url")).alias("canonical_url")
+    )
+
+
+def url_canonicalize_rollup(mapped: DataFrame) -> DataFrame:
+    """Frontier-dedup rollup over canonical mapping rows.  In streaming,
+    run it inside foreachBatch (countDistinct is not a supported streaming
+    state) — with an availableNow trigger the single batch is exactly the
+    batch query."""
+    return mapped.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.countDistinct("url").cast("long").alias("n_variants"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
 
 
@@ -2148,6 +2199,15 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable counts; the mode window's frame is the per-target
     anchor vocabulary — tiny per key at any corpus size."""
     links = _links_df(spark, sf_dir).filter(F.col("href").startswith("https://"))
+    return anchor_stats_rollup(links)
+
+
+def anchor_stats_rollup(links: DataFrame) -> DataFrame:
+    """Per-target anchor aggregation over (doc_id, href, anchor) rows —
+    shared by the batch query and foreachBatch streaming consumers (the
+    chained agg + mode window is not a supported streaming state shape;
+    the in-stream stage is the stateless anchor extraction,
+    streaming_anchor_rows)."""
     counts = links.groupBy("href", "anchor").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2156,7 +2216,10 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
-            "href",
+            # fresh attribute for the self-join key: both branches share
+            # lineage, and a memory-sink/view input otherwise trips
+            # Catalyst's conflicting-attribute check on the common `href`
+            F.col("href").alias("href_top"),
             F.col("anchor").alias("top_anchor"),
             F.col("n").cast("long").alias("top_anchor_n"),
         )
@@ -2165,7 +2228,7 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_links"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
-    return totals.join(top, "href").select(
+    return totals.join(top, F.col("href") == F.col("href_top")).select(
         "href", "n_links", "n_docs", "top_anchor", "top_anchor_n"
     )
 

@@ -265,14 +265,18 @@ def test_incremental_dedup_splits_sides(spark):
 
 def test_bruteforce_eval_guard_fences_oversized_input(spark, monkeypatch):
     """The two O(n²) eval baselines refuse to self-join more rows than the
-    fence allows — a user who lifts the id-range cap gets a ValueError, not
-    a cartesian blow-up."""
+    fence allows — a user who lifts the id-range cap gets a runtime error,
+    not a cartesian blow-up.  The fence is LAZY: building the DataFrame
+    (plan inspection / query registration) runs no job and raises nothing;
+    the error fires at execution."""
     import pytest as _pytest
 
     monkeypatch.setattr(sqlops, "BRUTEFORCE_EVAL_MAX_ROWS", 5)
-    with _pytest.raises(ValueError, match="brute-force EVAL baseline"):
-        sqlops.q_ngram_jaccard(spark, SF_DIR).collect()
-    with _pytest.raises(ValueError, match="q_ann_probe_topk"):
+    df = sqlops.q_ngram_jaccard(spark, SF_DIR)   # construction: no job, no raise
+    df.explain()                                  # plan inspection stays cheap
+    with _pytest.raises(Exception, match="brute-force EVAL baseline"):
+        df.collect()
+    with _pytest.raises(Exception, match="q_ann_probe_topk"):
         sqlops.q_embedding_neardup(spark, SF_DIR).collect()
 
 
@@ -333,3 +337,57 @@ def test_semantic_dedup_plan_cluster_bounded(spark):
 
     assert plan.count("BroadcastNestedLoopJoin") <= 3, plan
     assert "BroadcastHashJoin" in plan, plan  # drop-list joins broadcast
+
+
+def test_semantic_dedup_cluster_size_guard(spark, monkeypatch):
+    """Degenerate-codebook guard: with SEMDEDUP_MAX_CLUSTER forced below
+    the real cluster sizes, oversized clusters are sub-split
+    deterministically (vec_id mod ceil(n/max)) and pairs are compared only
+    within a (centroid_id, sub_id) cell — recomputed brute-force with the
+    same formula.  Also pins that the DuckDB oracle mirrors the split, so
+    the correctness gate holds in the guarded regime too."""
+    import math as _math
+
+    import duckdb
+    import numpy as np
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(sqlops, "SEMDEDUP_MAX_CLUSTER", 4)
+    out = {r.vec_id: (r.centroid_id, r.keep)
+           for r in sqlops.q_semantic_dedup(spark, sf).collect()}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in sqlops.load_table(spark, sf, "embeddings").collect()
+    }
+    by_cluster = {}
+    for vid, (cid, _) in out.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    assert max(len(v) for v in by_cluster.values()) > 4, (
+        "fixture must exercise the split path"
+    )
+    for cid, vids in by_cluster.items():
+        n_subs = _math.ceil(len(vids) / 4)
+        cells = {}
+        for v in vids:
+            cells.setdefault(v % n_subs, []).append(v)
+        for cell in cells.values():
+            cell.sort()
+            for i, v in enumerate(cell):
+                has_neighbor = any(
+                    round(float(emb[u] @ emb[v]
+                          / (np.sqrt(emb[u] @ emb[u]) * np.sqrt(emb[v] @ emb[v]))), 6)
+                    >= sqlops.SEMDEDUP_COS_MIN
+                    for u in cell[:i]
+                )
+                assert out[v][1] == (0 if has_neighbor else 1), (v, cid)
+
+    # oracle mirrors the same split: hash-equal under the patched cap
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    sql = entry_mod.oracle_sql()["semantic_dedup"]
+    ora = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    con.close()
+    assert ora == out
