@@ -159,11 +159,13 @@ NEARDUP_OUTPUT_SCHEMA = StructType(
 
 # per band bucket: docs seen within the TTL horizon; grams flattened to one
 # '\x1f'-joined blob per doc (flat array<string> state keeps the state
-# schema simple and Catalyst-friendly)
+# schema simple and Catalyst-friendly); doc_ts_ms carries each doc's event
+# time so individual docs age out of a continuously-active bucket too
 NEARDUP_STATE_SCHEMA = StructType(
     [
         StructField("doc_ids", ArrayType(LongType())),
         StructField("gram_blobs", ArrayType(StringType())),
+        StructField("doc_ts_ms", ArrayType(LongType())),
         StructField("max_ts_ms", LongType()),
     ]
 )
@@ -172,12 +174,39 @@ JACCARD_MIN = 0.30
 
 
 def _round_half_up(x: float, digits: int = 4) -> float:
-    """Spark's round() is HALF_UP; Python's round() is banker's — replicate
-    Spark so streamed jaccards equal the batch query's bit-for-bit."""
-    import math
+    """Spark's round() is HALF_UP on the value's shortest decimal
+    representation (BigDecimal.valueOf(double) == Decimal(repr(x)) in
+    Python) — replicate that exact path so streamed jaccards equal the
+    batch query's bit-for-bit, including boundary values whose float
+    product would round differently under naive floor(x*1e4+0.5)."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    scale = 10 ** digits
-    return math.floor(x * scale + 0.5) / scale
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+_TTL_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "sec": 1000, "secs": 1000, "s": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+}
+
+
+def _parse_ttl_ms(ttl: str) -> int:
+    """Parse a '<count> <unit>' interval (Spark CalendarInterval-style
+    spelling, e.g. '90 seconds', '1 day') with a descriptive error instead
+    of a bare ValueError/KeyError on unsupported input."""
+    parts = ttl.split()
+    if len(parts) == 2 and parts[0].lstrip("+").isdigit():
+        unit = parts[1].lower()
+        if unit in _TTL_UNIT_MS:
+            return int(parts[0]) * _TTL_UNIT_MS[unit]
+    raise ValueError(
+        f"unsupported TTL interval {ttl!r}: expected '<count> <unit>' with "
+        f"unit one of {sorted(set(_TTL_UNIT_MS))}"
+    )
 
 
 def _neardup_fn(ttl_ms: int, session_tz: str = "UTC"):
@@ -192,12 +221,23 @@ def _neardup_fn(ttl_ms: int, session_tz: str = "UTC"):
             yield  # pragma: no cover
 
         if state.exists:
-            doc_ids, blobs, max_ts_ms = state.get
-            doc_ids, blobs = list(doc_ids), list(blobs)
+            doc_ids, blobs, doc_ts, max_ts_ms = state.get
+            doc_ids, blobs, doc_ts = list(doc_ids), list(blobs), list(doc_ts)
         else:
-            doc_ids, blobs, max_ts_ms = [], [], 0
-        seen = set(doc_ids)
+            doc_ids, blobs, doc_ts, max_ts_ms = [], [], [], 0
         gram_sets = [set(b.split("\x1f")) for b in blobs]
+
+        def prune(horizon_ms: int) -> None:
+            # per-doc eviction: a continuously-active bucket must not
+            # retain (and O(n²)-compare) docs older than the TTL horizon
+            keep = [i for i, t in enumerate(doc_ts) if t >= horizon_ms]
+            if len(keep) < len(doc_ids):
+                doc_ids[:] = [doc_ids[i] for i in keep]
+                gram_sets[:] = [gram_sets[i] for i in keep]
+                doc_ts[:] = [doc_ts[i] for i in keep]
+
+        prune(max_ts_ms - ttl_ms)
+        seen = set(doc_ids)
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[float] = []
@@ -212,6 +252,10 @@ def _neardup_fn(ttl_ms: int, session_tz: str = "UTC"):
                 doc_id = int(doc_id)
                 if t > max_ts_ms:
                     max_ts_ms = t
+                    # the horizon advanced: evict aged docs BEFORE pairing
+                    if doc_ts and min(doc_ts) < max_ts_ms - ttl_ms:
+                        prune(max_ts_ms - ttl_ms)
+                        seen = set(doc_ids)
                 if doc_id in seen:  # replayed delivery — index unchanged
                     continue
                 gs = set(grams)
@@ -225,9 +269,16 @@ def _neardup_fn(ttl_ms: int, session_tz: str = "UTC"):
                         out_j.append(jac)
                 doc_ids.append(doc_id)
                 gram_sets.append(gs)
+                doc_ts.append(t)
                 seen.add(doc_id)
+        prune(max_ts_ms - ttl_ms)
         state.update(
-            (doc_ids, ["\x1f".join(sorted(g)) for g in gram_sets], max_ts_ms)
+            (
+                doc_ids,
+                ["\x1f".join(sorted(g)) for g in gram_sets],
+                doc_ts,
+                max_ts_ms,
+            )
         )
         state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
         if out_a:
@@ -251,11 +302,14 @@ def streaming_neardup(
     md5-transformed grams — no explode/groupBy, so it runs in the scan
     stage of every micro-batch); the only wide op is the groupBy on
     band_key, a short hash key.  State per band is the docs seen within
-    the event-time TTL (ids + gram sets), dropped wholesale when the
-    watermark passes last activity + TTL — state is bounded by rate x
-    horizon, never stream history, and the full-signature banding means a
-    bucket only holds near-identical docs.  Replayed doc_ids are absorbed
-    (index unchanged), so an at-least-once feed never duplicates pairs.
+    the event-time TTL (ids + gram sets + per-doc event times): each
+    invocation first evicts individual docs older than the bucket's newest
+    event minus TTL — so a continuously-active bucket stays bounded — and
+    the whole bucket times out when the watermark passes last activity +
+    TTL.  State is bounded by rate x horizon, never stream history, and
+    the full-signature banding means a bucket only holds near-identical
+    docs.  Replayed doc_ids are absorbed (index unchanged) within the TTL
+    horizon, so an at-least-once feed never duplicates pairs.
 
     Jaccard semantics are bit-identical to the batch query: distinct
     3-gram sets, HALF_UP rounding to 4 digits, threshold 0.30."""
@@ -264,13 +318,7 @@ def streaming_neardup(
 
     from ..operators.sqlops import MINHASH_SEEDS, _word_ngrams
 
-    n, unit = ttl.split()
-    unit_ms = {
-        "second": 1000, "seconds": 1000,
-        "minute": 60_000, "minutes": 60_000,
-        "hour": 3_600_000, "hours": 3_600_000,
-    }[unit]
-    ttl_ms = int(n) * unit_ms
+    ttl_ms = _parse_ttl_ms(ttl)
 
     active = SparkSession.getActiveSession()
     session_tz = (

@@ -138,3 +138,32 @@ def streaming_link_extract(stream_df: DataFrame) -> DataFrame:
     from ..operators.sqlops import links_from_pages
 
     return links_from_pages(stream_df)
+
+
+def streaming_url_canonicalize(noisy_links: DataFrame) -> DataFrame:
+    """Canonical URL mapping over a STREAM of extracted (doc_id, url)
+    links: the same fixed regexp_replace chain as the batch
+    q_url_canonicalize's mapping stage — row-local, stateless, exact
+    per-link parity.  The frontier-dedup rollup (count + two
+    countDistincts) is not a supported streaming state shape; run
+    operators.sqlops.url_canonicalize_rollup inside foreachBatch (with an
+    availableNow trigger the single batch equals the batch query
+    bit-for-bit)."""
+    from ..operators.sqlops import canonicalize_urls
+
+    return canonicalize_urls(noisy_links)
+
+
+def streaming_anchor_rows(stream_df: DataFrame) -> DataFrame:
+    """Anchor-text rows (doc_id, href, anchor) over a STREAM of pages —
+    the stateless in-stream stage of the anchor-stats table: the same
+    row-local extraction as batch, filtered to absolute targets.  The
+    per-target rollup with the modal anchor (chained aggs + rank window)
+    belongs in foreachBatch via operators.sqlops.anchor_stats_rollup."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sqlops import links_from_pages
+
+    return links_from_pages(stream_df).filter(
+        F.col("href").startswith("https://")
+    ).select("doc_id", "href", "anchor")

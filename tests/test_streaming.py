@@ -271,3 +271,85 @@ def test_streaming_link_extract_replayed_late_feed_matches_batch(spark, tmp_path
     )
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_streaming_url_canonicalize_matches_batch(spark, tmp_path):
+    """Streaming canonical mapping is stateless and exactly the batch
+    mapping per link; the foreachBatch-style rollup over the streamed rows
+    reproduces q_url_canonicalize bit-for-bit."""
+    from ocr_corrector_spark.operators.sqlops import (
+        _links_df,
+        _noisy_url,
+        canonicalize_urls,
+        q_url_canonicalize,
+        url_canonicalize_rollup,
+    )
+    from ocr_corrector_spark.streaming import streaming_url_canonicalize
+
+    sf_dir = "/root/testdata/sf0.001"
+    noisy = _noisy_url(
+        _links_df(spark, sf_dir).filter(F.col("href").startswith("https://"))
+    )
+    in_dir = str(tmp_path / "noisy_links")
+    noisy.write.mode("overwrite").parquet(in_dir)
+
+    src = spark.readStream.schema(noisy.schema).parquet(in_dir)
+    q = (
+        streaming_url_canonicalize(src)
+        .writeStream.format("memory")
+        .queryName("canon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_canon"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.sql("SELECT * FROM canon_stream")
+    rolled = sorted(
+        map(tuple, url_canonicalize_rollup(streamed).collect())
+    )
+    batch = sorted(map(tuple, q_url_canonicalize(spark, sf_dir).collect()))
+    assert rolled == batch
+    assert len(rolled) > 0
+    # mapping rows themselves are exact per link
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, canonicalize_urls(spark.read.parquet(in_dir)).collect())
+    )
+
+
+def test_streaming_anchor_rows_matches_batch(spark, tmp_path):
+    """Streaming anchor extraction is stateless; the foreachBatch-style
+    rollup over the streamed rows reproduces q_anchor_stats exactly."""
+    from ocr_corrector_spark.operators.sqlops import (
+        _page_html,
+        anchor_stats_rollup,
+        q_anchor_stats,
+    )
+    from ocr_corrector_spark.sources.tables import load_table
+    from ocr_corrector_spark.streaming import streaming_anchor_rows
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _page_html(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    in_dir = str(tmp_path / "pages_anchor")
+    pages.write.mode("overwrite").parquet(in_dir)
+
+    src = spark.readStream.schema(pages.schema).parquet(in_dir)
+    q = (
+        streaming_anchor_rows(src)
+        .writeStream.format("memory")
+        .queryName("anchor_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_anchor"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.sql("SELECT * FROM anchor_stream")
+    rolled = sorted(map(tuple, anchor_stats_rollup(streamed).collect()))
+    batch = sorted(map(tuple, q_anchor_stats(spark, sf_dir).collect()))
+    assert rolled == batch
+    assert len(rolled) > 0
