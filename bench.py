@@ -368,6 +368,7 @@ def main() -> None:
     )
 
     query_probes: dict[str, float] = {}
+    query_rep_med: dict[str, float] = {}
     for name in query_names:
         fn = {"image_stats": q_image_stats, "image_ahash": q_image_ahash}.get(
             name
@@ -382,13 +383,15 @@ def main() -> None:
             fn(spark, sf_dir).agg(F.count(F.lit(1))).collect()
             q_reps.append(time.perf_counter() - t0)
         timings[name] = round(min(q_reps), 3)
+        q_reps.sort()
+        query_rep_med[name] = round(q_reps[len(q_reps) // 2], 3)
         # one probe per query: a degraded window is self-explaining per row
         query_probes[name] = measure_capacity(cpus)
 
     _report(
         timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec,
         rep_probes, degraded_window, query_probes, flagship_engine_cpu,
-        flagship_probe_burn,
+        flagship_probe_burn, query_rep_med,
     )
     spark.stop()
 
@@ -442,7 +445,7 @@ def _scaling_evidence() -> dict | None:
 def _report(
     timings, sf, cpus, n_turns, flagship_reps, caps, correct_sec,
     rep_probes=None, degraded_window=False, query_probes=None,
-    flagship_engine_cpu=None, flagship_probe_burn=None,
+    flagship_engine_cpu=None, flagship_probe_burn=None, query_rep_med=None,
 ):
     out = {
         "metric": "headline suite wall time (flagship correction + operator analogs)",
@@ -462,6 +465,36 @@ def _report(
     }
     if query_probes:
         out["query_probes"] = query_probes
+    if query_rep_med:
+        out["query_rep_med"] = query_rep_med
+    # Per-query noise flags for the DRIVER-VISIBLE compact line: a query is
+    # flagged when its median-of-5 rep reads >=1.5x its min (a stall hit
+    # the timed reps) or its bracketing capacity probe fell >=30% below the
+    # run's best (co-tenant pressure at that moment).  Normally empty, so a
+    # clean run costs ~0 chars; in a noisy window the affected queries are
+    # self-evident per row instead of poisoning the artifact silently.
+    noisy_queries = {}
+    if query_probes and query_rep_med:
+        probe_best = max(query_probes.values())
+        for name, med in query_rep_med.items():
+            t_min = timings.get(name)
+            probe = query_probes.get(name)
+            if t_min and (
+                med >= 1.5 * t_min
+                or (probe is not None and probe < 0.7 * probe_best)
+            ):
+                noisy_queries[name] = {
+                    "min": t_min, "med": med, "probe": probe,
+                }
+    # bound the compact budget: worst 8 by med/min ratio
+    if len(noisy_queries) > 8:
+        worst = sorted(
+            noisy_queries.items(),
+            key=lambda kv: kv[1]["med"] / kv[1]["min"],
+            reverse=True,
+        )[:8]
+        noisy_queries = dict(worst)
+    out["noisy_queries"] = noisy_queries
     if "flagship_fused" in timings:
         out["fused_turns_per_sec"] = round(n_turns / timings["flagship_fused"], 1)
     scaling = _scaling_evidence()
@@ -471,10 +504,23 @@ def _report(
     # Full report (probes, gate definitions, scaling detail) goes to a file;
     # the driver's stdout capture keeps only a 2000-char tail, so the final
     # printed line must stay compact or the per-round artifact loses the
-    # queries map (BENCH_r03.json parsed: null).
-    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_bench.json"
-    )
+    # queries map (BENCH_r03.json parsed: null).  The COMMITTED copy
+    # (BENCH/last_bench.json) is only written on an explicit refresh
+    # (SPARK_GRAFT_BENCH_COMMIT=1); ad-hoc/concurrent runs default to a
+    # per-PID temp path so they never clobber or race on the tracked
+    # artifact.
+    if os.environ.get("SPARK_GRAFT_BENCH_OUT"):
+        full_path = os.environ["SPARK_GRAFT_BENCH_OUT"]
+    elif os.environ.get("SPARK_GRAFT_BENCH_COMMIT"):
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_bench.json"
+        )
+    else:
+        import tempfile
+
+        full_path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_bench_{os.getpid()}.json"
+        )
     try:
         with open(full_path, "w") as f:
             json.dump(out, f, indent=1)
@@ -486,6 +532,7 @@ def _report(
         for k in (
             "metric", "value", "unit", "queries", "sf", "cpus", "n_turns",
             "degraded_window", "corrected_turns_per_sec", "fused_turns_per_sec",
+            "noisy_queries",
         )
         if k in out
     }
@@ -499,9 +546,12 @@ def _report(
                 "eng_ge_host_gated", "artifact",
             )
         }
-    compact["full_report"] = "BENCH/last_bench.json"
+    compact["full_report"] = full_path
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # last resort: drop per-query map before truncating
+    if len(line) > 1900:  # shed noise detail first, then the per-query map
+        compact["noisy_queries"] = "see full_report"
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
         compact["queries"] = "see full_report"
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
