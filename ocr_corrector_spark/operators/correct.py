@@ -142,6 +142,7 @@ def with_dispatched_correction(
     spark: SparkSession | None = None,
     text_col: str = "text",
     mode_col: str = "corr_mode",
+    err_col: str = "err_pos",
     out_col: str = "text_corrected",
     row_counter=None,
     scorer_backend: str = "table",
@@ -284,7 +285,7 @@ def with_dispatched_correction(
         return pd.Series(out)
 
     return df.withColumn(
-        out_col, correct_udf(F.col(text_col), F.col("err_pos"), F.col(mode_col))
+        out_col, correct_udf(F.col(text_col), F.col(err_col), F.col(mode_col))
     )
 
 

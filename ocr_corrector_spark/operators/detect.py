@@ -55,6 +55,36 @@ def err_positions(text: Column, probs: Column, prob_threshold: float = 0.9) -> C
     return F.when(probs.isNull(), all_pos).otherwise(by_prob)
 
 
+def err_prob_key(probs: Column, prob_threshold: float = 0.9) -> Column:
+    """The probs-only factor of ``err_positions``: the sub-threshold index
+    set for non-null probs (empty for empty probs), and NULL for null
+    probs.  For every (text, probs):
+
+        err_positions(text, probs, th) == err_from_key(text, err_prob_key(probs, th))
+
+    (tests/test_dedup_correction.py pins the identity).  The key is
+    text-extraction-independent, so the dedup plan can compute it natively
+    on raw rows and use it as a join key orders of magnitude smaller than
+    the probs array itself (plans/pipeline._dedup_correct_pipeline)."""
+    empty = F.array().cast("array<int>")
+    idx = F.sequence(F.lit(0), F.size(probs) - 1)
+    by_prob = F.when(
+        F.size(probs) > 0,
+        F.filter(idx, lambda i: F.element_at(probs, i + 1) < F.lit(prob_threshold)),
+    ).otherwise(empty)
+    return F.when(probs.isNull(), F.lit(None).cast("array<int>")).otherwise(by_prob)
+
+
+def err_from_key(text: Column, key: Column) -> Column:
+    """Reconstruct ``err_positions`` from (text, err_prob_key): NULL key
+    (null probs) → every position of ``text``; else the key itself."""
+    empty = F.array().cast("array<int>")
+    all_pos = F.when(
+        F.length(text) > 0, F.sequence(F.lit(0), F.length(text) - 1)
+    ).otherwise(empty)
+    return F.when(key.isNull(), all_pos).otherwise(key)
+
+
 def with_error_detection(
     df: DataFrame,
     corrector: str = "keyword",
