@@ -119,16 +119,7 @@ def assemble_conversations(
     stream of (conv_id, n_turns, conversation) rows, one per completed
     conversation, turns joined in turn_idx order.
     """
-    n, unit = gap.split()
-    unit_ms = {
-        "second": 1000,
-        "seconds": 1000,
-        "minute": 60_000,
-        "minutes": 60_000,
-        "hour": 3_600_000,
-        "hours": 3_600_000,
-    }[unit]
-    gap_ms = int(n) * unit_ms
+    gap_ms = _parse_ttl_ms(gap)
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
