@@ -54,8 +54,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # cap Arrow batch size so Python correction workers stay memory-bound
-        # regardless of input partition size (SURVEY.md §4)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # regardless of input partition size (SURVEY.md §4); overridable for
+        # width-tuning experiments (smaller batches trade per-batch overhead
+        # for cache residency at high local[] width)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # stragglers: occasional tasks blocked on environment flakiness get
         # speculatively re-launched — the standard cluster answer, effective
