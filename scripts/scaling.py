@@ -411,15 +411,25 @@ def main() -> None:
         time.sleep(int(os.environ.get("SCALING_SLEEP", "5")))
 
     summary = build_summary(rounds, n, sf_dir)
+    # Hunt runs write their FINAL summary to the side file too: the
+    # committed artifact aggregates EVERY round across hunts and is only
+    # (re)written by --merge, so a finishing 4-attempt chunk must not
+    # replace 200+ merged rounds with its own 4.  Durable evidence is the
+    # per-round stderr JSON lines; the side file is a convenience.
+    # SCALING_WRITE_COMMITTED=1 restores the old single-hunt behavior.
+    write_committed = os.environ.get("SCALING_WRITE_COMMITTED", "0") == "1"
+    suffix = "" if write_committed else ".partial"
     # write the rounds FIRST — a failure in the optional full bench must
     # never discard hours of gated-round evidence
-    write_artifact(summary)
-    write_baseline_md(summary)
+    write_artifact(summary, suffix=suffix)
+    if write_committed:
+        write_baseline_md(summary)
     if full_bench:
         try:
             summary["bench_4N_full"] = run_full_bench(4 * n, sf_dir)
-            write_artifact(summary)
-            write_baseline_md(summary)
+            write_artifact(summary, suffix=suffix)
+            if write_committed:
+                write_baseline_md(summary)
         except Exception as exc:
             print(f"full bench failed (rounds already written): {exc}", file=sys.stderr)
     print(json.dumps(summary))
