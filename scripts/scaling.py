@@ -247,6 +247,47 @@ def run_round(n: int, sf_dir: str, seed: int) -> dict:
     }
 
 
+def wait_for_quiet(n: int, max_wait_s: float, poll_s: float) -> bool:
+    """Wait (bounded) for a host window in which a round could plausibly
+    gate, using the SAME burn probe the gates use (bench.measure_capacity)
+    at N and 4N workers.  This is a PRE-round decision on host capacity
+    only — it never sees a round's outcome, so it cannot select results;
+    it just stops us burning three 2-minute Spark benches (and adding our
+    own load) into a window whose probes already fail G2/G3.  Every probe
+    is logged to stderr as a JSON line; --merge ignores them (no
+    raw_efficiency/gated keys).  Returns True if a quiet window was seen,
+    False if the wait budget expired (the round runs anyway — the gates
+    still decide)."""
+    sys.path.insert(0, REPO)
+    from bench import measure_capacity
+
+    deadline = time.time() + max_wait_s
+    while True:
+        cap_n = measure_capacity(n)
+        cap_4n = measure_capacity(4 * n)
+        ratio = cap_4n / cap_n if cap_n else 0.0
+        quiet = cap_n >= CAP_N_MIN_PER_WORKER * n and ratio >= CAP_RATIO_MIN
+        print(
+            json.dumps(
+                {
+                    "probe_wait": True,
+                    "utc": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+                    "cap_n": cap_n,
+                    "cap_4n": cap_4n,
+                    "cap_ratio": round(ratio, 3),
+                    "quiet": quiet,
+                }
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+        if quiet:
+            return True
+        if time.time() + poll_s > deadline:
+            return False
+        time.sleep(poll_s)
+
+
 def write_artifact(summary: dict, suffix: str = "") -> None:
     os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
     with open(ARTIFACT + suffix, "w") as f:
@@ -384,9 +425,13 @@ def main() -> None:
     full_bench = os.environ.get("SCALING_FULL_BENCH", "1") == "1"
     prepare_input(sf_dir, n_seeds)
 
+    quiet_wait_s = float(os.environ.get("SCALING_QUIET_WAIT_S", "0"))
+    quiet_poll_s = float(os.environ.get("SCALING_QUIET_POLL_S", "30"))
     rounds: list[dict] = []
     for attempt in range(1, max_attempts + 1):
         seed = (attempt - 1) % n_seeds + 1
+        if quiet_wait_s > 0:
+            wait_for_quiet(n, quiet_wait_s, quiet_poll_s)
         r = run_round(n, sf_dir, seed)
         rounds.append(r)
         print(json.dumps({"attempt": attempt, **r}), file=sys.stderr, flush=True)
