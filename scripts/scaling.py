@@ -247,26 +247,82 @@ def run_round(n: int, sf_dir: str, seed: int) -> dict:
     }
 
 
+def _membw_probe_worker(q, mb: int = 96, reps: int = 4):
+    """One worker of the memory-bandwidth probe: stream-copy a buffer too
+    large for LLC and report achieved GB/s for this process."""
+    import numpy as np
+
+    a = np.arange(mb * 1024 * 1024 // 8, dtype=np.int64)
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.copyto(b, a)
+        a[0] += 1  # defeat any elision
+    dt = time.perf_counter() - t0
+    q.put(reps * 2 * a.nbytes / dt / 1e9)
+
+
+def measure_membw(n_workers: int) -> float:
+    """Aggregate streamed memory bandwidth (GB/s) for n_workers concurrent
+    copy loops.  The ALU burn probe the gates use cannot sense co-tenant
+    MEMORY-subsystem pressure (BENCH/SCALING_DIAGNOSIS.md: 08-18 windows
+    pass the burn gates while the engine's 4N CPU inflates 1.4-2.5x); a
+    stream copy is bound by the same resource the Arrow/JVM pipeline is."""
+    import multiprocessing
+
+    q = multiprocessing.Queue()
+    ps = [
+        multiprocessing.Process(target=_membw_probe_worker, args=(q,))
+        for _ in range(n_workers)
+    ]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(sum(q.get() for _ in range(n_workers)), 2)
+
+
 def wait_for_quiet(n: int, max_wait_s: float, poll_s: float) -> bool:
     """Wait (bounded) for a host window in which a round could plausibly
-    gate, using the SAME burn probe the gates use (bench.measure_capacity)
-    at N and 4N workers.  This is a PRE-round decision on host capacity
-    only — it never sees a round's outcome, so it cannot select results;
-    it just stops us burning three 2-minute Spark benches (and adding our
-    own load) into a window whose probes already fail G2/G3.  Every probe
-    is logged to stderr as a JSON line; --merge ignores them (no
-    raw_efficiency/gated keys).  Returns True if a quiet window was seen,
-    False if the wait budget expired (the round runs anyway — the gates
-    still decide)."""
+    gate AND measure scaling rather than neighbor pressure.  Three probes,
+    all taken at the widths the round will use:
+
+    * ALU capacity at N and 4N workers (the same burn probe the gates
+      use) against floors that default to the gate floors but may be set
+      STRICTER via SCALING_QUIET_CAP_N_MIN / SCALING_QUIET_RATIO_MIN —
+      waiting for a genuinely quiet window biases WHEN we measure, never
+      WHAT we keep;
+    * aggregate streamed memory bandwidth at 4N workers against
+      SCALING_QUIET_MEMBW_MIN GB/s (0 = disabled): the contention mode
+      the ALU probe is blind to (see SCALING_DIAGNOSIS.md).
+
+    This is a PRE-round decision on host condition only — it never sees a
+    round's outcome, so it cannot select results; it just stops us
+    burning three 2-minute Spark benches (and adding our own load) into a
+    window that cannot yield clean evidence.  Every probe is logged to
+    stderr as a JSON line; --merge ignores them (no raw_efficiency/gated
+    keys).  Returns True if a quiet window was seen, False if the wait
+    budget expired (the round runs anyway — the gates still decide)."""
     sys.path.insert(0, REPO)
     from bench import measure_capacity
+
+    cap_n_floor = float(
+        os.environ.get("SCALING_QUIET_CAP_N_MIN", CAP_N_MIN_PER_WORKER * n)
+    )
+    ratio_floor = float(os.environ.get("SCALING_QUIET_RATIO_MIN", CAP_RATIO_MIN))
+    membw_floor = float(os.environ.get("SCALING_QUIET_MEMBW_MIN", "0"))
 
     deadline = time.time() + max_wait_s
     while True:
         cap_n = measure_capacity(n)
         cap_4n = measure_capacity(4 * n)
         ratio = cap_4n / cap_n if cap_n else 0.0
-        quiet = cap_n >= CAP_N_MIN_PER_WORKER * n and ratio >= CAP_RATIO_MIN
+        membw = measure_membw(4 * n) if membw_floor > 0 else None
+        quiet = (
+            cap_n >= cap_n_floor
+            and ratio >= ratio_floor
+            and (membw is None or membw >= membw_floor)
+        )
         print(
             json.dumps(
                 {
@@ -275,6 +331,7 @@ def wait_for_quiet(n: int, max_wait_s: float, poll_s: float) -> bool:
                     "cap_n": cap_n,
                     "cap_4n": cap_4n,
                     "cap_ratio": round(ratio, 3),
+                    "membw_4n_gbps": membw,
                     "quiet": quiet,
                 }
             ),
